@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Meta-test evaluation CLI — flag-compatible with the reference
+`/root/reference/eval_noise.py`.
+
+Builds the (cached) clean or noisy test episode set, runs the learner over
+every episode and reports per-class IoU + foreground mean-IoU.
+"""
+from __future__ import annotations
+
+import os
+import time
+from datetime import datetime
+
+import numpy as np
+
+from r3dfsseg_tpu.cli import args_to_config, build_parser
+from r3dfsseg_tpu.config import R3DConfig
+from r3dfsseg_tpu.utils.logger import init_logger
+from r3dfsseg_tpu.utils.metrics import IoUAccumulator
+
+
+def make_learner(cfg: R3DConfig, mode: str):
+    """Phase dispatch (eval_noise.py:120-127 / train phases)."""
+    from r3dfsseg_tpu.learners import MPTILearner, ProtoLearner
+    if cfg.phase in ("mptinoise_eval", "mptieval", "mptitrain"):
+        return MPTILearner(cfg)
+    if cfg.phase in ("protoeval", "prototrain"):
+        return ProtoLearner(cfg, with_contrast=True)
+    if cfg.phase in ("transformereval", "transformertrain"):
+        from r3dfsseg_tpu.learners.transformer_learner import TransformerLearner
+        return TransformerLearner(cfg)
+    raise NotImplementedError(f"phase {cfg.phase} not supported")
+
+
+def test_few_shot(dataset, learner, logger, test_classes, *, eval_mdns=False,
+                  log_every=50):
+    """Evaluate every cached episode (eval_noise.py:75-113).
+
+    Episodes stream through a single jitted eval step; the IoU confusion
+    counts accumulate vectorised on host (replacing the reference's
+    per-point Python loop, eval_noise.py:39-62).
+    """
+    acc = IoUAccumulator(list(test_classes))
+    total_loss = 0.0
+    n = len(dataset)
+    t0 = time.perf_counter()
+    for i in range(n):
+        ep = dataset[i]
+        pred, loss, _ = learner.test(ep, eval_mdns=eval_mdns)
+        total_loss += float(loss)
+        acc.update(np.asarray(pred)[0], np.asarray(ep.query_y),
+                   np.asarray(ep.sampled_classes))
+        if (i + 1) % log_every == 0:
+            logger.cprint("[Eval] Iter: %d | Loss: %.4f | %s" % (
+                i + 1, float(loss), str(datetime.now())))
+    mean_loss = total_loss / max(n, 1)
+    iou = acc.iou()
+    for c, v in enumerate(iou):
+        logger.cprint("----- [class %d]  IoU: %f -----" % (c, v))
+    mean_iou = acc.mean_iou()
+    dt = time.perf_counter() - t0
+    logger.cprint("eval throughput: %.2f episodes/s" % (n / max(dt, 1e-9)))
+    return mean_loss, mean_iou
+
+
+def evaluate(cfg: R3DConfig):
+    from r3dfsseg_tpu.data import StaticTestDataset
+    from r3dfsseg_tpu.utils.checkpoint import load_checkpoint
+
+    logger = init_logger(cfg.log_dir, cfg)
+    logger.cprint(
+        "\n------------------- noise ratio= {}, noise type={} "
+        "--------------------\n".format(cfg.noise_ratio, cfg.noise_type))
+
+    dataset = StaticTestDataset(
+        cfg.clean_data_path or cfg.data_path, cfg.dataset, cvfold=cfg.cvfold,
+        num_episode_per_comb=cfg.n_episode_test, n_way=cfg.n_way,
+        k_shot=cfg.k_shot, n_queries=cfg.n_queries, num_point=cfg.pc_npts,
+        pc_attribs=cfg.pc_attribs, mode="test",
+        noise_ratio=cfg.noise_ratio, noise_type=cfg.noise_type,
+        seed=cfg.seed)
+
+    learner = make_learner(cfg, "test")
+    learner.init(dataset[0])
+    ckpt = os.path.join(cfg.model_checkpoint_path, "checkpoint.msgpack")
+    if os.path.exists(ckpt):
+        blob, state = load_checkpoint(ckpt, learner.state)
+        learner.state = state
+        logger.cprint("Load model checkpoint at Iteration %d (IoU %f)..."
+                      % (blob["iteration"], blob["IoU"]))
+    else:
+        # reference torch checkpoint interop
+        tar = os.path.join(cfg.model_checkpoint_path, "checkpoint.tar")
+        if os.path.exists(tar):
+            from r3dfsseg_tpu.utils.torch_convert import (
+                convert_mpti_model, load_torch_checkpoint)
+            sd = load_torch_checkpoint(tar)
+            params, stats = convert_mpti_model(
+                sd, edgeconv_widths=cfg.edgeconv_widths,
+                dgcnn_mlp_widths=cfg.dgcnn_mlp_widths,
+                base_widths=cfg.base_widths, use_attention=cfg.use_attention)
+            learner.load_params({"features": params["features"],
+                                 **({"proj": params["proj"]} if "proj" in params else {})},
+                                {"features": stats["features"]})
+            logger.cprint("Loaded converted reference checkpoint %s" % tar)
+        else:
+            raise ValueError(
+                "Model checkpoint file must be correctly given (%s)."
+                % cfg.model_checkpoint_path)
+
+    test_loss, mean_iou = test_few_shot(
+        dataset, learner, logger, list(dataset.classes), eval_mdns=True)
+    logger.cprint("\n=====[TEST] Loss: %.4f | Mean IoU: %f =====\n"
+                  % (test_loss, mean_iou))
+    return mean_iou
+
+
+if __name__ == "__main__":
+    args = build_parser(eval_mode=True).parse_args()
+    cfg = args_to_config(args, eval_mode=True)
+    np.random.seed(cfg.seed)
+    evaluate(cfg)

@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Noise-robust meta-training CLI — flag-compatible with the reference
+`/root/reference/mpti_train_noise.py`.
+
+Per-episode noisy meta-training with WayContrast, periodic clean-set
+validation and best/periodic checkpointing.  TPU-native extras: episode
+batching (--episode_batch), prefetched host episode generation, one jitted
+train step per batch.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from eval_noise import make_learner, test_few_shot
+from r3dfsseg_tpu.cli import args_to_config, build_parser
+from r3dfsseg_tpu.config import R3DConfig
+from r3dfsseg_tpu.utils.checkpoint import save_checkpoint
+from r3dfsseg_tpu.utils.logger import ScalarWriter, init_logger
+
+
+def train(cfg: R3DConfig):
+    from r3dfsseg_tpu.data import EpisodeLoader, NoisyEpisodeSampler, StaticTestDataset
+    from r3dfsseg_tpu.utils.checkpoint import load_checkpoint, load_pretrain_checkpoint
+
+    logger = init_logger(cfg.log_dir, cfg)
+    writer = ScalarWriter(cfg.log_dir)
+
+    pc_augm_config = {"scale": cfg.pc_augm_scale, "rot": cfg.pc_augm_rot,
+                      "mirror_prob": cfg.pc_augm_mirror_prob,
+                      "jitter": cfg.pc_augm_jitter}
+
+    train_sampler = NoisyEpisodeSampler(
+        cfg.clean_data_path, cfg.dataset, cvfold=cfg.cvfold,
+        n_way=cfg.n_way, k_shot=cfg.k_shot, n_queries=cfg.n_queries,
+        mode="train", num_point=cfg.pc_npts, pc_attribs=cfg.pc_attribs,
+        pc_augm=cfg.pc_augm, pc_augm_config=pc_augm_config,
+        noise_ratio=list(cfg.train_noise_ratio), noise_type="train",
+        seed=cfg.seed)
+
+    valid_set = StaticTestDataset(
+        cfg.clean_data_path, cfg.dataset, cvfold=cfg.cvfold,
+        num_episode_per_comb=cfg.n_episode_test, n_way=cfg.n_way,
+        k_shot=cfg.k_shot, n_queries=cfg.n_queries, num_point=cfg.pc_npts,
+        pc_attribs=cfg.pc_attribs, mode="valid", seed=cfg.seed)
+
+    logger.cprint("--------- cvfold=%d, train class: %s, test class: %s ------"
+                  % (cfg.cvfold, train_sampler.classes, valid_set.classes))
+
+    learner = make_learner(cfg, "train")
+    learner.init(train_sampler.sample())
+
+    if cfg.model_checkpoint_path:      # resume (mpti_train_noise.py:172-173)
+        blob, state = load_checkpoint(
+            os.path.join(cfg.model_checkpoint_path, "checkpoint.msgpack"),
+            learner.state)
+        learner.state = state
+        logger.cprint("Resume from checkpoint at Iteration %d (IoU %f)..."
+                      % (blob["iteration"], blob["IoU"]))
+    elif cfg.pretrain_checkpoint_path:
+        params, stats = load_pretrain_checkpoint(cfg.pretrain_checkpoint_path)
+        learner.load_params(params, stats, encoder_only=True)
+        logger.cprint("Load encoder module from pretrained checkpoint...")
+
+    n_steps = cfg.n_iters // max(cfg.episode_batch, 1)
+    loader = EpisodeLoader(
+        train_sampler.sample, num_batches=n_steps,
+        episode_batch=cfg.episode_batch,
+        n_workers=1, prefetch=4)
+
+    best_iou = 0.0
+    eval_every = max(cfg.eval_interval // max(cfg.episode_batch, 1), 1)
+    for step, batch in enumerate(loader):
+        metrics = learner.train(batch)
+        it = (step + 1) * cfg.episode_batch
+        logger.cprint(
+            "==[Train] Iter: %d | Loss: %.4f |  lp_loss: %.4f | "
+            "contrast_loss: %.4f | Accuracy: %f  ==" % (
+                it, float(metrics["loss"]), float(metrics["lp_loss"]),
+                float(metrics["contrast_loss"]), float(metrics["accuracy"])))
+        writer.add_scalar("Train/loss", metrics["loss"], it)
+        writer.add_scalar("Train/lp_loss", metrics["lp_loss"], it)
+        writer.add_scalar("Train/edge_loss", metrics["contrast_loss"], it)
+        writer.add_scalar("Train/accuracy", metrics["accuracy"], it)
+        for k in ("clean_ratio_LP", "clean_ratio_original",
+                  "query_acc_LP", "query_acc_original"):
+            if k in metrics:
+                writer.add_scalar(f"Train/{k}", metrics[k], it)
+
+        if (step + 1) % eval_every == 0:
+            valid_loss, mean_iou = test_few_shot(
+                valid_set, learner, logger, list(valid_set.classes))
+            logger.cprint("\n=====[VALID] Loss: %.4f | Mean IoU: %f  =====\n"
+                          % (valid_loss, mean_iou))
+            writer.add_scalar("Valid/loss", valid_loss, it)
+            writer.add_scalar("Valid/meanIoU", mean_iou, it)
+            if mean_iou > best_iou:
+                best_iou = mean_iou
+                logger.cprint("*******************Model Saved*******************")
+                save_checkpoint(os.path.join(cfg.log_dir, "checkpoint.msgpack"),
+                                learner.state, loss=valid_loss, iou=best_iou)
+            save_checkpoint(
+                os.path.join(cfg.log_dir, f"checkpoint_{it}.msgpack"),
+                learner.state, loss=valid_loss, iou=best_iou)
+    writer.close()
+
+
+if __name__ == "__main__":
+    args = build_parser(eval_mode=False).parse_args()
+    cfg = args_to_config(args, eval_mode=False)
+    np.random.seed(cfg.seed)
+    train(cfg)

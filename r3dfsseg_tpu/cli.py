@@ -1,0 +1,142 @@
+"""Shared CLI plumbing: the reference flag surface -> R3DConfig.
+
+Flag names, defaults and choices mirror
+`/root/reference/mpti_train_noise.py:159-244` and
+`/root/reference/eval_noise.py:158-233`; list-valued flags are parsed with
+ast.literal_eval exactly like the reference (mpti_train_noise.py:249-253).
+TPU-only flags are grouped at the end.
+"""
+from __future__ import annotations
+
+import argparse
+import ast
+import os
+
+from r3dfsseg_tpu.config import R3DConfig
+
+
+def build_parser(eval_mode: bool = False) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser()
+    # data
+    choices = ["pretrain", "finetune", "prototrain", "protoeval",
+               "mptitrain", "mptieval", "mptinoise_eval", "transformereval"]
+    p.add_argument("--phase", type=str,
+                   default="mptinoise_eval" if eval_mode else "mptitrain",
+                   choices=choices)
+    p.add_argument("--dataset", type=str, default="s3dis")
+    p.add_argument("--cvfold", type=int, default=0)
+    p.add_argument("--data_path", type=str, default="")
+    p.add_argument("--pretrain_checkpoint_path", type=str, default=None)
+    p.add_argument("--model_checkpoint_path", type=str, default=None)
+    p.add_argument("--save_path", type=str, default="./log_s3dis/")
+    p.add_argument("--eval_interval", type=int, default=2000)
+    # optimization
+    p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--n_workers", type=int, default=16)
+    p.add_argument("--n_iters", type=int, default=40000)
+    p.add_argument("--lr", type=float, default=0.001)
+    p.add_argument("--step_size", type=int, default=5000)
+    p.add_argument("--gamma", type=float, default=0.5)
+    # episodes
+    p.add_argument("--n_way", type=int, default=2)
+    p.add_argument("--k_shot", type=int, default=5)
+    p.add_argument("--n_queries", type=int, default=1)
+    p.add_argument("--n_episode_test", type=int, default=100)
+    # point clouds
+    p.add_argument("--pc_npts", type=int, default=2048)
+    p.add_argument("--pc_attribs", default="xyzrgbXYZ")
+    p.add_argument("--pc_augm", action="store_true")
+    p.add_argument("--pc_augm_scale", type=float, default=0)
+    p.add_argument("--pc_augm_rot", type=int, default=1)
+    p.add_argument("--pc_augm_mirror_prob", type=float, default=0)
+    p.add_argument("--pc_augm_jitter", type=int, default=1)
+    # backbone
+    p.add_argument("--dgcnn_k", type=int, default=20)
+    p.add_argument("--edgeconv_widths", default="[[64,64], [64, 64], [64, 64]]")
+    p.add_argument("--dgcnn_mlp_widths", default="[512, 256]")
+    p.add_argument("--base_widths", default="[128, 64]")
+    p.add_argument("--output_dim", type=int, default=64)
+    p.add_argument("--use_attention", action="store_true")
+    p.add_argument("--dg_atten_dim", type=int, default=128)
+    # protonet
+    p.add_argument("--dist_method", default="cosine")
+    # mpti
+    p.add_argument("--n_subprototypes", type=int, default=100)
+    p.add_argument("--k_connect", type=int, default=200)
+    p.add_argument("--sigma", type=float, default=1.0)
+    # noise
+    p.add_argument("--clean_data_path", type=str, default="")
+    p.add_argument("--log_dir", type=str, default="debug")
+    p.add_argument("--ReturnCluster", default=False)
+    p.add_argument("--seed", default=123, type=int)
+    p.add_argument("--train_noise_ratio", default="[0.2]")
+    p.add_argument("--shot_seed", type=int, default=1)
+    if eval_mode:
+        p.add_argument("--noise_ratio", type=float, default=0.4)
+        p.add_argument("--noise_type", default="sym", type=str)
+        p.add_argument("--save_test_record", dest="save_test_record",
+                       action="store_true")
+        # transformer baseline config (eval_noise.py:229-233)
+        p.add_argument("--d_model", type=int, default=192)
+        p.add_argument("--n_head", type=int, default=4)
+        p.add_argument("--d_feed", type=int, default=128)
+        p.add_argument("--n_layers", type=int, default=1)
+    # ---- TPU-only ----
+    p.add_argument("--episode_batch", type=int, default=1,
+                   help="episodes fused into one jit step")
+    p.add_argument("--lp_solver", default="cg", choices=["cg", "solve"])
+    p.add_argument("--lp_cg_iters", type=int, default=50)
+    p.add_argument("--compute_dtype", default="float32",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--profile_dir", type=str, default=None)
+    return p
+
+
+def args_to_config(args: argparse.Namespace, eval_mode: bool = False) -> R3DConfig:
+    cfg = R3DConfig(
+        phase=args.phase, dataset=args.dataset, cvfold=args.cvfold,
+        pretrain_checkpoint_path=args.pretrain_checkpoint_path,
+        model_checkpoint_path=args.model_checkpoint_path,
+        save_path=args.save_path, eval_interval=args.eval_interval,
+        data_path=getattr(args, "data_path", ""),
+        clean_data_path=args.clean_data_path,
+        batch_size=getattr(args, "batch_size", 1),
+        n_workers=getattr(args, "n_workers", 8),
+        n_iters=getattr(args, "n_iters", 40000),
+        lr=args.lr if hasattr(args, "lr") else 0.001,
+        step_size=getattr(args, "step_size", 5000),
+        gamma=getattr(args, "gamma", 0.5),
+        n_way=args.n_way, k_shot=args.k_shot, n_queries=args.n_queries,
+        n_episode_test=args.n_episode_test,
+        pc_npts=args.pc_npts, pc_attribs=args.pc_attribs,
+        pc_augm=args.pc_augm, pc_augm_scale=args.pc_augm_scale,
+        pc_augm_rot=args.pc_augm_rot,
+        pc_augm_mirror_prob=args.pc_augm_mirror_prob,
+        pc_augm_jitter=args.pc_augm_jitter,
+        dgcnn_k=args.dgcnn_k,
+        edgeconv_widths=tuple(map(tuple, ast.literal_eval(args.edgeconv_widths))),
+        dgcnn_mlp_widths=tuple(ast.literal_eval(args.dgcnn_mlp_widths)),
+        base_widths=tuple(ast.literal_eval(args.base_widths)),
+        output_dim=args.output_dim, use_attention=args.use_attention,
+        dg_atten_dim=args.dg_atten_dim, dist_method=args.dist_method,
+        n_subprototypes=args.n_subprototypes, k_connect=args.k_connect,
+        sigma=args.sigma,
+        train_noise_ratio=tuple(ast.literal_eval(args.train_noise_ratio)),
+        noise_ratio=getattr(args, "noise_ratio", 0.0),
+        noise_type=getattr(args, "noise_type", "sym"),
+        shot_seed=args.shot_seed, seed=args.seed,
+        episode_batch=args.episode_batch, lp_solver=args.lp_solver,
+        lp_cg_iters=args.lp_cg_iters, compute_dtype=args.compute_dtype,
+        profile_dir=args.profile_dir,
+        log_dir=args.log_dir if hasattr(args, "log_dir") else "debug",
+    )
+    if not eval_mode:
+        # log dir layout (mpti_train_noise.py:255-257)
+        cfg = cfg.replace(log_dir=os.path.join(
+            args.save_path, "Cleantrain",
+            "S%d_N%d_K%d_Att%d" % (args.cvfold, args.n_way, args.k_shot,
+                                   int(args.use_attention)),
+            args.log_dir))
+    else:
+        cfg = cfg.replace(log_dir=args.model_checkpoint_path or args.log_dir)
+    return cfg

@@ -1,0 +1,134 @@
+"""Configuration for the r3dfsseg_tpu framework.
+
+Field names and defaults mirror the reference CLI surface
+(`/root/reference/mpti_train_noise.py:159-244` and
+`/root/reference/eval_noise.py:158-233`) so users of the reference can
+switch without relearning flags.  Extra TPU-only knobs (episode batch size,
+device mesh, LP solver, precision) are grouped at the bottom.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+
+@dataclasses.dataclass
+class R3DConfig:
+    # ------------------------------------------------------------------ data
+    phase: str = "mptitrain"
+    dataset: str = "s3dis"                 # s3dis | scannet
+    cvfold: int = 0
+    pretrain_checkpoint_path: Optional[str] = None
+    model_checkpoint_path: Optional[str] = None
+    save_path: str = "./log_s3dis/"
+    eval_interval: int = 2000
+    data_path: str = ""
+    clean_data_path: str = ""
+    log_dir: str = "debug"
+
+    # -------------------------------------------------------- optimization
+    batch_size: int = 1                    # episodes per optimizer step (TPU: >1 encouraged)
+    n_workers: int = 8
+    n_iters: int = 40000
+    lr: float = 0.001
+    encoder_lr: float = 0.0001             # reference hard-codes 1e-4 (models/mpti_learner.py:28)
+    step_size: int = 5000
+    gamma: float = 0.5
+
+    # ------------------------------------------------------ episode setting
+    n_way: int = 2
+    k_shot: int = 5
+    n_queries: int = 1
+    n_episode_test: int = 100
+
+    # --------------------------------------------------------- point clouds
+    pc_npts: int = 2048
+    pc_attribs: str = "xyzrgbXYZ"
+    pc_augm: bool = False
+    pc_augm_scale: float = 0.0
+    pc_augm_rot: int = 1
+    pc_augm_mirror_prob: float = 0.0
+    pc_augm_jitter: int = 1
+
+    # ------------------------------------------------------------- backbone
+    dgcnn_k: int = 20
+    edgeconv_widths: Tuple[Tuple[int, ...], ...] = ((64, 64), (64, 64), (64, 64))
+    dgcnn_mlp_widths: Tuple[int, ...] = (512, 256)
+    base_widths: Tuple[int, ...] = (128, 64)
+    output_dim: int = 64
+    use_attention: bool = True
+    dg_atten_dim: int = 128
+    attn_dropout: float = 0.1
+
+    # --------------------------------------------------------------- models
+    dist_method: str = "cosine"            # ProtoNet similarity: cosine | euclidean
+    n_subprototypes: int = 100
+    k_connect: int = 200
+    sigma: float = 1.0
+    lp_alpha: float = 0.99                 # label propagation (models/mpti.py:758)
+    contrast_weight: float = 0.1           # loss = lp + 0.1*contrast (mpti_learner.py:66)
+    contrast_fps_k: int = 4                # per-shot FPS seeds for WayContrast (mpti.py:480)
+    contrast_temp: float = 0.1
+    proj_dim: int = 128                    # WayContrast projection head (mpti.py:83)
+    mdns_scales: Tuple[Tuple[int, int, int], ...] = ((1, 1, 1), (2, 2, 1))
+    shot_seed: int = 1
+
+    # ---------------------------------------------------------------- noise
+    noise_ratio: float = 0.0
+    noise_type: str = "sym"                # sym | ood | partial | train
+    train_noise_ratio: Sequence[float] = (0.2,)
+    ReturnCluster: bool = False
+
+    # ----------------------------------------------------------------- misc
+    seed: int = 123
+
+    # ------------------------------------------------------ TPU-only knobs
+    episode_batch: int = 1                 # episodes fused into one jit step
+    lp_solver: str = "cg"                  # cg | solve (dense)
+    lp_cg_iters: int = 50
+    compute_dtype: str = "float32"         # float32 | bfloat16 (encoder matmuls)
+    mesh_shape: Optional[Tuple[int, ...]] = None   # None => single chip
+    profile_dir: Optional[str] = None      # jax.profiler trace output
+
+    # ---------------------------------------------------------- derived ---
+    @property
+    def pc_in_dim(self) -> int:
+        return len(self.pc_attribs)
+
+    @property
+    def n_classes(self) -> int:
+        return self.n_way + 1
+
+    @property
+    def feat_dim(self) -> int:
+        """192 = level1(64) + attention/mapper(64) + base(64) (mpti.py:68)."""
+        return self.edgeconv_widths[0][-1] + self.output_dim + self.base_widths[-1]
+
+    @property
+    def num_proto_slots(self) -> int:
+        """Fixed prototype node slots: bg + one block per way (mpti.py:488-498)."""
+        return self.n_subprototypes * (self.n_way + 1)
+
+    @property
+    def num_query_points(self) -> int:
+        return self.n_queries * self.n_way * self.pc_npts
+
+    @property
+    def num_nodes(self) -> int:
+        """Graph size for label propagation, fixed via padding (mpti.py:504)."""
+        return self.num_proto_slots + self.num_query_points
+
+    def replace(self, **kw) -> "R3DConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def tiny_config(**overrides) -> R3DConfig:
+    """A miniature config for CPU tests and multi-chip dry runs."""
+    cfg = R3DConfig(
+        n_way=2, k_shot=2, n_queries=1, pc_npts=64,
+        dgcnn_k=4, edgeconv_widths=((8, 8), (8, 8), (8, 8)),
+        dgcnn_mlp_widths=(16, 16), base_widths=(8, 8), output_dim=8,
+        dg_atten_dim=8, n_subprototypes=8, k_connect=8,
+        contrast_fps_k=2, proj_dim=8, lp_cg_iters=30,
+    )
+    return cfg.replace(**overrides)

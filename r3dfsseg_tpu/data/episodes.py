@@ -1,0 +1,212 @@
+"""Episode samplers: clean meta-train/test and noise-injecting variants.
+
+Re-design of `MyDataset` (`/root/reference/dataloaders/loader.py:377-560`)
+and `NoiseInMetaTest` (`loader.py:562-890`):
+
+  * clean episodes: per way, k_shot+n_queries scans drawn from class2scans
+    with an episode-wide blacklist;
+  * noisy episodes: num_noise_shot = round(k_shot * ratio) shots per way are
+    drawn from *other* classes but masked as if they were the target class;
+    noise class ranges — 'sym' (in-episode ways), 'ood' (test classes minus
+    ways), 'train' (all train classes, per-episode ratio drawn from a list),
+    'partial' (same class, object-level mask corruption);
+  * per-way shot-order shuffle, noisy shots' gt masks zeroed, support_flag
+    carries each shot's absolute class (loader.py:794-851).
+
+Everything produces channels-last `Episode` pytrees ready for the device.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+from r3dfsseg_tpu.data.catalogs import get_catalog
+from r3dfsseg_tpu.data.sampler import sample_k_scans
+from r3dfsseg_tpu.models.episode import Episode
+
+
+class EpisodeSampler:
+    """Clean episodes (MyDataset, loader.py:377-560)."""
+
+    def __init__(self, data_path: str, dataset_name: str, *, cvfold: int = 0,
+                 n_way: int = 2, k_shot: int = 5, n_queries: int = 1,
+                 mode: str = "train", num_point: int = 2048,
+                 pc_attribs: str = "xyzrgbXYZ", pc_augm: bool = False,
+                 pc_augm_config: Optional[Dict] = None,
+                 seed: Optional[int] = None):
+        self.data_path = data_path
+        self.n_way, self.k_shot, self.n_queries = n_way, k_shot, n_queries
+        self.num_point = num_point
+        self.pc_attribs = pc_attribs
+        self.pc_augm = pc_augm
+        self.pc_augm_config = pc_augm_config
+        self.catalog = get_catalog(dataset_name, cvfold, data_path)
+        if mode == "train":
+            self.classes = np.asarray(self.catalog.train_classes)
+        elif mode == "test":
+            self.classes = np.asarray(self.catalog.test_classes)
+        else:
+            raise NotImplementedError(f"Unknown mode {mode}! [Options: train/test]")
+        self.mode = mode
+        self.class2scans = self.catalog.class2scans
+        self.rng = np.random.default_rng(seed)
+
+    # ------------------------------------------------------------------
+    def sample(self, n_way_classes: Optional[Sequence[int]] = None) -> Episode:
+        if n_way_classes is not None:
+            sampled = np.asarray(n_way_classes)
+        else:
+            sampled = self.rng.choice(self.classes, self.n_way, replace=False)
+        return self._episode(sampled)
+
+    def _episode(self, sampled_classes: np.ndarray) -> Episode:
+        rng = self.rng
+        sup_x, sup_y, q_x, q_y = [], [], [], []
+        gt_sup, gt_q = [], []
+        blacklist: list = []
+        for cls in sampled_classes:
+            names = [s for s in self.class2scans[int(cls)] if s not in blacklist]
+            pick = rng.choice(names, self.k_shot + self.n_queries, replace=False)
+            blacklist.extend(pick)
+            q_names, s_names = pick[:self.n_queries], pick[self.n_queries:]
+            qp, ql, qg, _ = sample_k_scans(
+                self.data_path, self.num_point, self.pc_attribs, q_names,
+                sampled_class=int(cls), sampled_classes=sampled_classes,
+                is_support=False, pc_augm=self.pc_augm,
+                pc_augm_config=self.pc_augm_config, rng=rng)
+            sp, sl, sg, _ = sample_k_scans(
+                self.data_path, self.num_point, self.pc_attribs, s_names,
+                sampled_class=int(cls), sampled_classes=sampled_classes,
+                is_support=True, pc_augm=self.pc_augm,
+                pc_augm_config=self.pc_augm_config, rng=rng)
+            q_x.append(qp); q_y.append(ql); gt_q.append(qg)
+            sup_x.append(sp); sup_y.append(sl); gt_sup.append(sg)
+        return Episode(
+            support_x=np.stack(sup_x).astype(np.float32),
+            support_y=np.stack(sup_y).astype(np.int32),
+            query_x=np.concatenate(q_x).astype(np.float32),
+            query_y=np.concatenate(q_y).astype(np.int32),
+            gt_support_y=np.stack(gt_sup).astype(np.int32),
+            gt_query_y=np.concatenate(gt_q).astype(np.int32),
+            support_flag=np.tile(sampled_classes[:, None],
+                                 (1, self.k_shot)).astype(np.int32),
+            sampled_classes=sampled_classes.astype(np.int32),
+        )
+
+
+class NoisyEpisodeSampler(EpisodeSampler):
+    """Noise-injecting episodes (NoiseInMetaTest, loader.py:562-890)."""
+
+    def __init__(self, data_path: str, dataset_name: str, *,
+                 noise_ratio, noise_type: str = "sym", mode: str = "train",
+                 **kw):
+        super().__init__(data_path, dataset_name, mode=mode, **kw)
+        self.noise_ratio = noise_ratio
+        # meta-training always uses 'train' noise with a per-episode ratio
+        # drawn from a list (loader.py:584-587,668-671)
+        self.noise_type = "train" if mode == "train" else noise_type
+        if mode == "train":
+            assert isinstance(noise_ratio, (list, tuple)), \
+                "train noise_ratio must be a list (loader.py:587)"
+
+    def _episode(self, sampled_classes: np.ndarray) -> Episode:
+        rng = self.rng
+        if self.mode == "train":
+            ratio = rng.choice(np.asarray(self.noise_ratio, np.float64))
+        else:
+            ratio = float(self.noise_ratio)
+        num_noise = int(round(self.k_shot * ratio))
+
+        # noise class range (loader.py:676-687)
+        if self.mode == "test":
+            if self.noise_type == "sym":
+                noise_range = list(sampled_classes)
+            elif self.noise_type == "ood":
+                noise_range = [c for c in self.classes if c not in sampled_classes]
+            elif self.noise_type == "partial":
+                noise_range = None
+            else:
+                raise NotImplementedError(
+                    "only sym/ood/partial noise implemented for meta-test")
+        else:
+            noise_range = list(self.classes)
+
+        sup_x, sup_y, q_x, q_y = [], [], [], []
+        gt_sup, gt_q, flags = [], [], []
+        blacklist: list = []
+
+        for cls in sampled_classes:
+            cls = int(cls)
+            names = [s for s in self.class2scans[cls] if s not in blacklist]
+            pick = rng.choice(names, self.k_shot - num_noise + self.n_queries,
+                              replace=False)
+            blacklist.extend(pick)
+            q_names = pick[:self.n_queries]
+            clean_names = pick[self.n_queries:]
+
+            sp, sl, sg, _ = sample_k_scans(
+                self.data_path, self.num_point, self.pc_attribs, clean_names,
+                sampled_class=cls, sampled_classes=sampled_classes,
+                is_support=True, pc_augm=self.pc_augm,
+                pc_augm_config=self.pc_augm_config, rng=rng)
+            qp, ql, qg, _ = sample_k_scans(
+                self.data_path, self.num_point, self.pc_attribs, q_names,
+                sampled_class=cls, sampled_classes=sampled_classes,
+                is_support=False, pc_augm=self.pc_augm,
+                pc_augm_config=self.pc_augm_config, rng=rng)
+
+            flag = np.zeros(self.k_shot)
+            flag[:len(clean_names)] = cls
+
+            way_range = ([cls] if self.noise_type == "partial"
+                         else list(noise_range))
+            for i in range(num_noise):
+                # draw a wrong-class scan; masks pretend it's `cls`
+                # (loader.py:741-792)
+                if self.noise_type == "partial":
+                    noisy_cls = cls
+                else:
+                    noisy_cls = cls
+                    while noisy_cls == cls:
+                        noisy_cls = int(rng.choice(way_range))
+                cands = [s for s in self.class2scans[noisy_cls]
+                         if s not in blacklist]
+                scan = rng.choice(cands, 1, replace=False)
+                if self.noise_type == "partial":
+                    # require >=3 objects and >=3 classes (loader.py:755-763)
+                    from r3dfsseg_tpu.data.sampler import load_scan
+                    d = load_scan(self.data_path, scan[0])
+                    while (len(np.unique(d[:, -1])) < 3
+                           or len(np.unique(d[:, 6])) < 3):
+                        scan = rng.choice(cands, 1, replace=False)
+                        d = load_scan(self.data_path, scan[0])
+                blacklist.extend(scan)
+                npnt, nlab, ngt, _ = sample_k_scans(
+                    self.data_path, self.num_point, self.pc_attribs, scan,
+                    sampled_class=noisy_cls, sampled_classes=sampled_classes,
+                    is_support=True, partial_noise=self.noise_type == "partial",
+                    pc_augm=self.pc_augm, pc_augm_config=self.pc_augm_config,
+                    rng=rng)
+                sp = np.concatenate([sp, npnt]); sl = np.concatenate([sl, nlab])
+                sg = np.concatenate([sg, ngt])
+                flag[len(clean_names) + i] = noisy_cls
+
+            if num_noise > 0:
+                sg[-num_noise:] = 0          # noisy shots' gt zeroed (loader.py:797-801)
+
+            order = rng.permutation(self.k_shot)   # shot shuffle (loader.py:804-818)
+            sup_x.append(sp[order]); sup_y.append(sl[order])
+            gt_sup.append(sg[order]); flags.append(flag[order])
+            q_x.append(qp); q_y.append(ql); gt_q.append(qg)
+
+        return Episode(
+            support_x=np.stack(sup_x).astype(np.float32),
+            support_y=np.stack(sup_y).astype(np.int32),
+            query_x=np.concatenate(q_x).astype(np.float32),
+            query_y=np.concatenate(q_y).astype(np.int32),
+            gt_support_y=np.stack(gt_sup).astype(np.int32),
+            gt_query_y=np.concatenate(gt_q).astype(np.int32),
+            support_flag=np.stack(flags).astype(np.int32),
+            sampled_classes=sampled_classes.astype(np.int32),
+        )

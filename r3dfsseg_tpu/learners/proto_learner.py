@@ -1,0 +1,75 @@
+"""ProtoNet learner (`/root/reference/models/proto_learner.py:13-89`)."""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from r3dfsseg_tpu.config import R3DConfig
+from r3dfsseg_tpu.learners.base import TrainState, create_train_state, make_optimizer
+from r3dfsseg_tpu.models.episode import Episode
+from r3dfsseg_tpu.models.protonet import ProtoNet
+
+Array = jax.Array
+
+
+class ProtoLearner:
+    def __init__(self, cfg: R3DConfig, rng: Optional[jax.Array] = None,
+                 with_contrast: bool = False):
+        self.cfg = cfg
+        self.model = ProtoNet(cfg, with_contrast=with_contrast)
+        self.with_contrast = with_contrast
+        self.tx = make_optimizer(cfg)
+        self._rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
+        self.state: Optional[TrainState] = None
+        self._train_step = jax.jit(self._train_step_impl)
+        self._eval_step = jax.jit(self._eval_step_impl,
+                                  static_argnames=("eval_mdns",))
+
+    def init(self, example_episode: Episode) -> TrainState:
+        self.state = create_train_state(
+            self.model, self.cfg, example_episode, self._rng)
+        return self.state
+
+    def load_params(self, params, batch_stats=None, *, encoder_only=False):
+        from r3dfsseg_tpu.learners.mpti_learner import MPTILearner
+        MPTILearner.load_params(self, params, batch_stats,
+                                encoder_only=encoder_only)
+
+    def _train_step_impl(self, state: TrainState, ep: Episode, rng):
+        c = self.cfg
+
+        def loss_fn(params):
+            out, mut = self.model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                ep, train=True, mutable=["batch_stats"],
+                rngs={"dropout": rng})
+            loss = out.loss + c.contrast_weight * out.contrast_loss
+            return loss, (out, mut["batch_stats"])
+
+        (loss, (out, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        new_state = TrainState(state.step + 1, params, new_stats, opt_state)
+        metrics = dict(out.aux)
+        metrics.update(loss=loss, contrast_loss=out.contrast_loss)
+        return new_state, metrics
+
+    def _eval_step_impl(self, state: TrainState, ep: Episode, *, eval_mdns: bool):
+        out = self.model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            ep, train=False, eval_mdns=eval_mdns)
+        pred = jnp.argmax(out.query_logits, axis=-1)
+        acc = jnp.mean((pred == ep.with_batch_dim().query_y).astype(jnp.float32))
+        return pred, out.loss, acc
+
+    def train(self, ep: Episode) -> Dict[str, Array]:
+        self._rng, rng = jax.random.split(self._rng)
+        self.state, metrics = self._train_step(self.state, ep, rng)
+        return metrics
+
+    def test(self, ep: Episode, *, eval_mdns: bool = False):
+        return self._eval_step(self.state, ep, eval_mdns=eval_mdns)

@@ -1,0 +1,208 @@
+"""DGCNN backbone, BaseLearner head and single-head self-attention.
+
+TPU-native re-design of the reference backbone
+(`/root/reference/models/dgcnn.py`, `models/attention.py`,
+`models/mpti.py:18-40`):
+
+  * channels-LAST layout (B, N, C): every 1x1 conv becomes a dense matmul
+    that tiles straight onto the MXU;
+  * EdgeConv recomputes the kNN graph on current features per block
+    (dynamic graph, dgcnn.py:116) with one Gram matmul + top_k + gather;
+  * BatchNorm matches torch defaults (eps=1e-5, momentum 0.1 on running
+    stats) — training normalises over the episode's cloud batch exactly as
+    the reference does, eval uses running statistics;
+  * LeakyReLU(0.2) activations (dgcnn.py:57).
+
+Parameter tree is designed so a converted PyTorch checkpoint
+(`utils/checkpoint_util.py:9-23` key remapping) drops in one-to-one —
+see `r3dfsseg_tpu.utils.torch_convert`.
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from r3dfsseg_tpu.ops.knn import knn_indices, gather_neighbors
+
+Array = jax.Array
+
+
+class ConvBN(nn.Module):
+    """1x1 conv (dense) + BatchNorm [+ LeakyReLU], torch-compatible.
+
+    Covers the reference's `conv2d`/`conv1d` stacks (dgcnn.py:45-80) and
+    BaseLearner's Conv1d+BN pairs; works on any (..., C) layout because the
+    dense contraction and BN statistics both operate on the trailing axis.
+    """
+    features: int
+    use_bias: bool = False
+    relu: bool = True
+    negative_slope: float = 0.2
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        x = nn.Dense(self.features, use_bias=self.use_bias, name="conv")(x)
+        # use_fast_variance=False: the E[x^2]-E[x]^2 shortcut cancels
+        # catastrophically in f32 on edge features whose mean >> std,
+        # drifting ~2e-2 per block from the torch two-pass variance.
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9, epsilon=1e-5, name="bn",
+            use_fast_variance=False,
+        )(x)
+        if self.relu:
+            x = nn.leaky_relu(x, self.negative_slope)
+        return x
+
+
+class EdgeConv(nn.Module):
+    """One EdgeConv block: kNN -> edge features -> MLP -> max over k.
+
+    Matches `get_edge_feature` + `conv2d` + max (dgcnn.py:26-42,113-119).
+    Edge feature = concat(neighbour - central, central): (B, N, K, 2C).
+    """
+    widths: Tuple[int, ...]
+    k: int = 20
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        idx = knn_indices(jax.lax.stop_gradient(x), self.k)   # (B, N, K)
+        nbr = gather_neighbors(x, idx)                        # (B, N, K, C)
+        central = jnp.broadcast_to(x[:, :, None, :], nbr.shape)
+        e = jnp.concatenate([nbr - central, central], axis=-1)
+        for i, w in enumerate(self.widths):
+            e = ConvBN(w, name=f"layer{i}")(e, train=train)
+        return jnp.max(e, axis=2)                             # max over K
+
+
+class DGCNN(nn.Module):
+    """Stacked EdgeConv blocks + pointwise MLP (dgcnn.py:83-127).
+
+    Returns (level-1 features, final features): the first EdgeConv output
+    feeds the 192-d few-shot embedding concat (mpti.py:68,589).
+    """
+    edgeconv_widths: Tuple[Tuple[int, ...], ...] = ((64, 64), (64, 64), (64, 64))
+    mlp_widths: Tuple[int, ...] = (512, 256)
+    k: int = 20
+    return_edgeconvs: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False):
+        outs = []
+        h = x
+        for i, widths in enumerate(self.edgeconv_widths):
+            h = EdgeConv(tuple(widths), k=self.k, name=f"edgeconv{i}")(h, train=train)
+            outs.append(h)
+        h = jnp.concatenate(outs, axis=-1)
+        for i, w in enumerate(self.mlp_widths):
+            h = ConvBN(w, name=f"mlp{i}")(h, train=train)
+        if self.return_edgeconvs:
+            return outs, h
+        return outs[0], h
+
+
+class BaseLearner(nn.Module):
+    """Conv1d+BN stack with ReLU between layers, none after the last
+    (mpti.py:18-40)."""
+    widths: Tuple[int, ...] = (128, 64)
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        n = len(self.widths)
+        for i, w in enumerate(self.widths):
+            x = ConvBN(w, use_bias=True, relu=False, name=f"conv{i}")(x, train=train)
+            if i != n - 1:
+                x = nn.relu(x)
+        return x
+
+
+class SelfAttention(nn.Module):
+    """Single-head QKV attention over all points (attention.py:10-48).
+
+    q,k,v are bias-free 1x1 convs; attn = softmax(q k^T / sqrt(d_out)) with
+    dropout on the attention map in training.
+    """
+    out_channel: int
+    attn_dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        d = self.out_channel
+        q = nn.Dense(d, use_bias=False, name="q_map")(x)      # (B, N, d)
+        k = nn.Dense(d, use_bias=False, name="k_map")(x)
+        v = nn.Dense(d, use_bias=False, name="v_map")(x)
+        attn = jnp.einsum("bnd,bmd->bnm", q / jnp.sqrt(d).astype(q.dtype), k,
+                          preferred_element_type=jnp.float32)
+        attn = jax.nn.softmax(attn, axis=-1)
+        attn = nn.Dropout(self.attn_dropout, deterministic=not train,
+                          name="dropout")(attn)
+        return jnp.einsum("bnm,bmd->bnd", attn.astype(v.dtype), v,
+                          preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+class FeatureExtractor(nn.Module):
+    """The 192-d few-shot embedding: concat(level1, attention|mapper, base).
+
+    Mirrors `MPTI_SelfAtten.getFeatures` / `ProtoNet.getFeatures`
+    (mpti.py:579-595, protonet.py:277-293).  Input (B, N, C_in); output
+    (B, N, feat_dim) with feat_dim = 64 + output_dim + base_widths[-1].
+    """
+    edgeconv_widths: Tuple[Tuple[int, ...], ...] = ((64, 64), (64, 64), (64, 64))
+    dgcnn_mlp_widths: Tuple[int, ...] = (512, 256)
+    base_widths: Tuple[int, ...] = (128, 64)
+    output_dim: int = 64
+    dgcnn_k: int = 20
+    use_attention: bool = True
+    attn_dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        feat1, feat2 = DGCNN(
+            self.edgeconv_widths, self.dgcnn_mlp_widths, k=self.dgcnn_k,
+            name="encoder",
+        )(x, train=train)
+        feat3 = BaseLearner(self.base_widths, name="base_learner")(feat2, train=train)
+        if self.use_attention:
+            mid = SelfAttention(self.output_dim, self.attn_dropout,
+                                name="att_learner")(feat2, train=train)
+        else:
+            mid = nn.Dense(self.output_dim, use_bias=False,
+                           name="linear_mapper")(feat2)
+        return jnp.concatenate([feat1, mid, feat3], axis=-1)
+
+
+class DGCNNSegAttention(nn.Module):
+    """Pretraining segmentation head (DGCNN + attention + segmenter).
+
+    Re-design of `DGCNNSeg_attention` (dgcnn.py:185-217): full-scene
+    semantic segmentation used to pretrain the encoder before episode
+    meta-training (README.md:43-44).
+    """
+    num_classes: int
+    edgeconv_widths: Tuple[Tuple[int, ...], ...] = ((64, 64), (64, 64), (64, 64))
+    dgcnn_mlp_widths: Tuple[int, ...] = (512, 256)
+    dgcnn_k: int = 20
+    atten_dim: int = 128
+    dropout: float = 0.3
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False, return_feat: bool = False):
+        outs, h = DGCNN(
+            self.edgeconv_widths, self.dgcnn_mlp_widths, k=self.dgcnn_k,
+            return_edgeconvs=True, name="encoder",
+        )(x, train=train)
+        h = SelfAttention(self.atten_dim, name="att_learner")(h, train=train)
+        g = jnp.max(h, axis=1, keepdims=True)                 # global feature
+        feats = outs + [jnp.broadcast_to(g, h.shape)]
+        pc_feat = jnp.concatenate(feats, axis=-1)
+        z = ConvBN(256, name="seg0")(pc_feat, train=train)
+        z = ConvBN(128, use_bias=True, name="seg1")(z, train=train)
+        z = nn.Dropout(self.dropout, deterministic=not train)(z)
+        logits = nn.Dense(self.num_classes, name="seg_out")(z)
+        if return_feat:
+            few_shot_feat = jnp.concatenate([outs[0], h], axis=-1)
+            return logits, few_shot_feat
+        return logits

@@ -1,0 +1,89 @@
+"""Pairwise-distance k-nearest-neighbour primitives.
+
+TPU-native replacement for two reference code paths:
+  * the DGCNN EdgeConv kNN (`/root/reference/models/dgcnn.py:17-23`): a
+    -|x|^2 - 2 x^T y - |y|^2 Gram trick followed by `topk`;
+  * the faiss `IndexFlatL2` affinity-graph search
+    (`/root/reference/models/mpti.py:731-736`), which round-trips
+    GPU->CPU->GPU.  Here the search is a single on-device matmul + top_k.
+
+All distances are squared Euclidean; matmuls run on the MXU with an
+explicit f32 accumulator so bf16 inputs stay accurate.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def pairwise_sqdist(x: Array, y: Array | None = None) -> Array:
+    """Squared Euclidean distance matrix.
+
+    Args:
+      x: (..., N, C) points.
+      y: (..., M, C) points; defaults to ``x``.
+    Returns:
+      (..., N, M) squared distances (clamped at 0 for numerical safety).
+    """
+    if y is None:
+        y = x
+    # |x-y|^2 = |x|^2 - 2 x.y + |y|^2, the same Gram decomposition the
+    # reference uses (dgcnn.py:18-20), evaluated on the MXU.
+    xx = jnp.sum(x * x, axis=-1, keepdims=True)            # (..., N, 1)
+    yy = jnp.sum(y * y, axis=-1, keepdims=True)            # (..., M, 1)
+    # HIGHEST precision: neighbour *selection* downstream must not be
+    # perturbed by bf16 MXU rounding.
+    inner = jnp.einsum(
+        "...nc,...mc->...nm", x, y,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    d = xx - 2.0 * inner + jnp.swapaxes(yy, -1, -2)
+    return jnp.maximum(d, 0.0)
+
+
+def knn_indices(
+    x: Array,
+    k: int,
+    *,
+    valid: Array | None = None,
+    exclude_self: bool = False,
+) -> Array:
+    """Indices of the k nearest neighbours of every point (self included
+    unless ``exclude_self``; the reference EdgeConv keeps self, dgcnn.py:22,
+    while the affinity graph drops it, mpti.py:735-736).
+
+    Args:
+      x: (..., N, C) points.
+      k: neighbours per point.
+      valid: optional (..., N) bool; invalid points are never returned as
+        neighbours (their distance is pushed to +inf).
+      exclude_self: mask the diagonal before the top-k.
+    Returns:
+      (..., N, k) int32 neighbour indices.
+    """
+    d = pairwise_sqdist(x)
+    if valid is not None:
+        big = jnp.asarray(jnp.finfo(d.dtype).max, d.dtype)
+        d = jnp.where(valid[..., None, :], d, big)
+    if exclude_self:
+        n = d.shape[-1]
+        eye = jnp.eye(n, dtype=bool)
+        d = jnp.where(eye, jnp.finfo(d.dtype).max, d)
+    _, idx = jax.lax.top_k(-d, k)
+    return idx.astype(jnp.int32)
+
+
+def gather_neighbors(x: Array, idx: Array) -> Array:
+    """Gather neighbour features.
+
+    Args:
+      x: (..., N, C) features.
+      idx: (..., N, K) neighbour indices into the N axis.
+    Returns:
+      (..., N, K, C) gathered features (the reference's expand+gather,
+      dgcnn.py:38-40, expressed as one XLA gather).
+    """
+    return jnp.take_along_axis(x[..., :, None, :], idx[..., :, :, None], axis=-3)

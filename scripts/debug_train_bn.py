@@ -1,0 +1,52 @@
+"""Debug train-mode BN parity per block."""
+import sys
+import numpy as np
+sys.path.insert(0, "/root/repo"); sys.path.insert(0, "/root/reference")
+import torch
+from models.dgcnn import DGCNN as TorchDGCNN, get_edge_feature, knn as torch_knn
+import jax, jax.numpy as jnp
+from r3dfsseg_tpu.nn.dgcnn import DGCNN as FlaxDGCNN, EdgeConv
+from r3dfsseg_tpu.utils.torch_convert import convert_feature_extractor
+
+EC = ((16,16),(16,16),(16,16)); MLP=(32,24); K=8; NPTS=32; CIN=9
+torch.manual_seed(0); gen = np.random.default_rng(1)
+tenc = TorchDGCNN([list(w) for w in EC], list(MLP), CIN, k=K)
+sd = {"encoder."+k: v.numpy() for k,v in tenc.state_dict().items()}
+# add dummies so converter works for base/att? use use_attention False and catch
+params, stats = convert_feature_extractor({**sd,
+    **{f"base_learner.convs.{i}.{j}.{n}": np.zeros(1) for i in range(0) for j in range(2) for n in ["weight"]}},
+    edgeconv_widths=EC, dgcnn_mlp_widths=MLP, base_widths=(), use_attention=False)
+x = gen.normal(size=(4, NPTS, CIN)).astype(np.float32)
+xt = torch.from_numpy(x.transpose(0,2,1))
+tenc.train()
+# per-block torch forward
+outs_t = []
+h = xt
+with torch.no_grad():
+    for i in range(3):
+        e = get_edge_feature(h, K=K)
+        e = tenc.edge_convs[i](e)
+        h = e.max(dim=-1)[0]
+        outs_t.append(h.numpy().transpose(0,2,1))
+fenc = FlaxDGCNN(EC, MLP, k=K)
+venc = {"params": params["encoder"], "batch_stats": stats["encoder"]}
+# flax per-block: apply method-level
+class OneBlock(FlaxDGCNN):
+    pass
+# just run full and grab intermediate via capture
+_, inter = fenc.apply(venc, jnp.asarray(x), train=True, mutable=["batch_stats", "intermediates"], capture_intermediates=True)
+# easier: manually run EdgeConv modules
+h_j = jnp.asarray(x)
+for i in range(3):
+    blk = EdgeConv(EC[i], k=K)
+    vb = {"params": params["encoder"][f"edgeconv{i}"], "batch_stats": stats["encoder"][f"edgeconv{i}"]}
+    h_jn, _ = blk.apply(vb, h_j, train=True, mutable=["batch_stats"])
+    err = np.abs(np.asarray(h_jn) - outs_t[i])
+    print(f"block{i}: max={err.max():.5f} mean={err.mean():.6f} frac>1e-3={(err>1e-3).mean():.4f}")
+    # knn overlap on inputs
+    ti = torch_knn(torch.from_numpy(np.asarray(h_j).transpose(0,2,1)), K).numpy()
+    from r3dfsseg_tpu.ops.knn import knn_indices
+    ji = np.asarray(knn_indices(h_j, K))
+    same = sum(len(set(ti[b,n]) & set(ji[b,n])) for b in range(4) for n in range(NPTS))
+    print(f"  knn overlap at block {i} input: {same/(4*NPTS*K):.4f}")
+    h_j = jnp.asarray(outs_t[i])  # resync inputs to isolate per-block error

@@ -1,0 +1,145 @@
+"""Backbone parity: flax FeatureExtractor vs the PyTorch reference modules
+driven with identical (converted) weights.
+
+The reference's dgcnn.py/attention.py import only torch, so we can load
+them directly from /root/reference for an apples-to-apples check.
+"""
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+torch = pytest.importorskip("torch")
+
+sys.path.insert(0, "/root/reference")
+from models.dgcnn import DGCNN as TorchDGCNN  # noqa: E402
+from models.attention import SelfAttention as TorchSelfAttention  # noqa: E402
+
+from r3dfsseg_tpu.nn import FeatureExtractor  # noqa: E402
+from r3dfsseg_tpu.utils.torch_convert import convert_feature_extractor  # noqa: E402
+
+EC = ((16, 16), (16, 16), (16, 16))
+MLP = (32, 24)
+BASE = (16, 8)
+OUT = 8
+K = 8
+NPTS = 32
+CIN = 9
+
+
+class TorchBaseLearner(torch.nn.Module):
+    """Equivalent of the reference BaseLearner (mpti.py:18-40), rebuilt here
+    because mpti.py needs faiss/torch_cluster which this image lacks."""
+
+    def __init__(self, in_channels, params):
+        super().__init__()
+        self.convs = torch.nn.ModuleList()
+        for i, w in enumerate(params):
+            in_dim = in_channels if i == 0 else params[i - 1]
+            self.convs.append(torch.nn.Sequential(
+                torch.nn.Conv1d(in_dim, w, 1), torch.nn.BatchNorm1d(w)))
+
+    def forward(self, x):
+        for i, conv in enumerate(self.convs):
+            x = conv(x)
+            if i != len(self.convs) - 1:
+                x = torch.nn.functional.relu(x)
+        return x
+
+
+class TorchFeatureNet(torch.nn.Module):
+    """getFeatures with attention (mpti.py:579-589)."""
+
+    def __init__(self):
+        super().__init__()
+        self.encoder = TorchDGCNN([list(w) for w in EC], list(MLP), CIN, k=K)
+        self.base_learner = TorchBaseLearner(MLP[-1], list(BASE))
+        self.att_learner = TorchSelfAttention(MLP[-1], OUT)
+
+    def forward(self, x):
+        f1, f2 = self.encoder(x)
+        f3 = self.base_learner(f2)
+        att = self.att_learner(f2)
+        return torch.cat((f1, att, f3), dim=1)
+
+
+def _randomize_bn_stats(module, gen):
+    for m in module.modules():
+        if isinstance(m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
+            m.running_mean.copy_(torch.from_numpy(
+                gen.normal(size=m.running_mean.shape).astype(np.float32)) * 0.2)
+            m.running_var.copy_(torch.from_numpy(
+                gen.uniform(0.5, 2.0, size=m.running_var.shape).astype(np.float32)))
+
+
+@pytest.fixture(scope="module")
+def pair():
+    torch.manual_seed(0)
+    gen = np.random.default_rng(1)
+    tnet = TorchFeatureNet()
+    with torch.no_grad():
+        _randomize_bn_stats(tnet, gen)
+    tnet.eval()
+    sd = {k: v.detach().numpy() for k, v in tnet.state_dict().items()}
+    params, stats = convert_feature_extractor(
+        sd, edgeconv_widths=EC, dgcnn_mlp_widths=MLP, base_widths=BASE,
+        use_attention=True)
+    fnet = FeatureExtractor(EC, MLP, BASE, OUT, dgcnn_k=K, use_attention=True)
+    return tnet, fnet, {"params": params, "batch_stats": stats}
+
+
+def test_feature_extractor_parity_eval(pair, rng):
+    tnet, fnet, variables = pair
+    x = rng.normal(size=(2, NPTS, CIN)).astype(np.float32)
+    with torch.no_grad():
+        want = tnet(torch.from_numpy(x.transpose(0, 2, 1))).numpy().transpose(0, 2, 1)
+    got = np.asarray(fnet.apply(variables, jnp.asarray(x), train=False))
+    assert got.shape == want.shape == (2, NPTS, EC[0][-1] + OUT + BASE[-1])
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=5e-3)
+
+
+def test_feature_extractor_train_mode_runs(pair, rng):
+    _, fnet, variables = pair
+    x = jnp.asarray(rng.normal(size=(2, NPTS, CIN)).astype(np.float32))
+    out, mut = fnet.apply(
+        variables, x, train=True,
+        mutable=["batch_stats"], rngs={"dropout": jax.random.PRNGKey(0)})
+    assert np.isfinite(np.asarray(out)).all()
+    # running stats moved
+    old = variables["batch_stats"]["encoder"]["mlp0"]["bn"]["mean"]
+    new = mut["batch_stats"]["encoder"]["mlp0"]["bn"]["mean"]
+    assert not np.allclose(np.asarray(old), np.asarray(new))
+
+
+def test_train_mode_batchnorm_matches_torch(pair, rng):
+    """BN in train mode normalises over the cloud batch exactly like torch
+    (dgcnn.py:53-55) — critical for meta-training parity."""
+    tnet, fnet, variables = pair
+    tnet.train()
+    x = rng.normal(size=(4, NPTS, CIN)).astype(np.float32)
+    with torch.no_grad():
+        want = tnet(torch.from_numpy(x.transpose(0, 2, 1))).numpy().transpose(0, 2, 1)
+    tnet.eval()
+    # dropout in attention: torch train-mode applies dropout; compare with a
+    # dropout-free flax pass against a dropout-disabled torch net instead.
+    tnet.att_learner.dropout.p = 0.0
+    tnet.train()
+    with torch.no_grad():
+        want = tnet(torch.from_numpy(x.transpose(0, 2, 1))).numpy().transpose(0, 2, 1)
+    tnet.eval()
+    fnet_nodrop = FeatureExtractor(EC, MLP, BASE, OUT, dgcnn_k=K,
+                                   use_attention=True, attn_dropout=0.0)
+    got, _ = fnet_nodrop.apply(
+        variables, jnp.asarray(x), train=True, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(0)})
+    got = np.asarray(got)
+    # Batch-stat normalisation divides by per-channel batch std; channels
+    # whose edge features are nearly constant amplify f32 matmul-order
+    # noise by 1/std, so elementwise equality is unattainable even between
+    # two torch builds.  Assert distributional closeness instead: the bulk
+    # of elements match tightly and the mean drift is tiny.
+    err = np.abs(got - want)
+    assert np.quantile(err, 0.99) < 5e-2, np.quantile(err, 0.99)
+    assert err.mean() < 5e-3, err.mean()

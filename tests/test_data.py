@@ -1,0 +1,150 @@
+"""Data pipeline tests on a synthetic on-disk dataset."""
+import os
+
+import numpy as np
+import pytest
+
+from r3dfsseg_tpu.data import (
+    EpisodeLoader,
+    EpisodeSampler,
+    NoisyEpisodeSampler,
+    StaticTestDataset,
+    get_catalog,
+    read_episode_h5,
+    write_episode_h5,
+)
+from r3dfsseg_tpu.data.sampler import augment_pointcloud, sample_scan
+from r3dfsseg_tpu.data.synthetic import make_synthetic_dataset
+
+
+@pytest.fixture(scope="module")
+def ds(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("synth") / "blocks")
+    return make_synthetic_dataset(root, n_scans=40, pts_per_scan=1024, seed=3)
+
+
+def test_catalog_splits_and_class2scans(ds):
+    cat = get_catalog("s3dis", 0, ds)
+    assert len(cat.test_classes) == 6
+    assert len(cat.train_classes) == 6
+    assert set(cat.test_classes).isdisjoint(cat.train_classes)
+    # every class should appear in several scans (synthetic rotates classes)
+    for c in cat.train_classes:
+        assert len(cat.class2scans[c]) >= 6
+    # pickle cache created + reused
+    assert os.path.exists(os.path.join(ds, "class2scans.pkl"))
+    cat2 = get_catalog("s3dis", 1, ds)
+    assert set(cat2.test_classes) == set(cat.train_classes)
+
+
+def test_sample_scan_shapes_and_labels(ds):
+    cat = get_catalog("s3dis", 0, ds)
+    cls = cat.train_classes[0]
+    scan = cat.class2scans[cls][0]
+    rng = np.random.default_rng(0)
+    pt, lb, gt, cl = sample_scan(
+        ds, scan, 256, "xyzrgbXYZ", sampled_classes=[cls],
+        sampled_class=cls, support=True, rng=rng)
+    assert pt.shape == (256, 9) and lb.shape == (256,)
+    assert lb.sum() > 0                       # stratified: fg survived
+    assert pt[:, 3:6].max() <= 1.0            # rgb scaled
+    assert pt[:, 6:9].min() >= 0 and pt[:, 6:9].max() <= 1.0  # XYZ normalised
+    xyz = pt[:, :3]
+    assert np.allclose(xyz.min(0), 0, atol=1e-5)  # min-shifted
+
+
+def test_augmentation_properties(rng):
+    P = rng.normal(size=(100, 9)).astype(np.float32)
+    cfg = {"scale": 0, "rot": 1, "mirror_prob": 0, "jitter": 0}
+    out = augment_pointcloud(P, cfg, np.random.default_rng(0))
+    # pure z-rotation preserves z and xy-norms
+    np.testing.assert_allclose(out[:, 2], P[:, 2], atol=1e-5)
+    np.testing.assert_allclose(
+        np.linalg.norm(out[:, :2], axis=1),
+        np.linalg.norm(P[:, :2], axis=1), rtol=1e-4)
+    # attributes beyond xyz untouched without jitter
+    np.testing.assert_array_equal(out[:, 3:], P[:, 3:])
+
+
+def test_clean_episode_sampler(ds):
+    s = EpisodeSampler(ds, "s3dis", cvfold=0, n_way=2, k_shot=3, n_queries=1,
+                       mode="train", num_point=128, seed=0)
+    ep = s.sample()
+    assert ep.support_x.shape == (2, 3, 128, 9)
+    assert ep.query_y.shape == (2, 128)
+    assert set(np.unique(ep.query_y)) <= {0, 1, 2}
+    # clean: support_flag rows constant = sampled class
+    for w in range(2):
+        assert (ep.support_flag[w] == ep.sampled_classes[w]).all()
+        # every shot has fg
+        assert (ep.support_y[w].sum(-1) > 0).all()
+
+
+@pytest.mark.parametrize("noise_type", ["sym", "ood"])
+def test_noisy_episode_sampler_test_mode(ds, noise_type):
+    s = NoisyEpisodeSampler(ds, "s3dis", cvfold=0, n_way=2, k_shot=5,
+                            n_queries=1, mode="test", num_point=128,
+                            noise_ratio=0.4, noise_type=noise_type, seed=1)
+    ep = s.sample()
+    n_noise = int(round(5 * 0.4))
+    for w in range(2):
+        cls = ep.sampled_classes[w]
+        flags = ep.support_flag[w]
+        n_wrong = int((flags != cls).sum())
+        assert n_wrong == n_noise
+        wrong = flags[flags != cls]
+        if noise_type == "sym":
+            assert set(wrong.tolist()) <= set(ep.sampled_classes.tolist())
+        else:
+            assert set(wrong.tolist()).isdisjoint(ep.sampled_classes.tolist())
+        # noisy shots' gt masks zeroed (loader.py:797-801)
+        for k in range(5):
+            if flags[k] != cls:
+                assert ep.gt_support_y[w, k].sum() == 0
+
+
+def test_noisy_train_mode_ratio_list(ds):
+    s = NoisyEpisodeSampler(ds, "s3dis", cvfold=0, n_way=2, k_shot=5,
+                            n_queries=1, mode="train", num_point=128,
+                            noise_ratio=[0.0, 0.2, 0.4], seed=2)
+    counts = set()
+    for _ in range(10):
+        ep = s.sample()
+        wrong = int((ep.support_flag[0] != ep.sampled_classes[0]).sum())
+        counts.add(wrong)
+    assert counts <= {0, 1, 2}
+    assert len(counts) > 1      # the per-episode draw actually varies
+
+
+def test_h5_roundtrip(ds, tmp_path):
+    s = EpisodeSampler(ds, "s3dis", cvfold=0, n_way=2, k_shot=2,
+                       n_queries=1, mode="test", num_point=64, seed=0)
+    ep = s.sample()
+    p = str(tmp_path / "0.h5")
+    write_episode_h5(p, ep)
+    back = read_episode_h5(p)
+    np.testing.assert_allclose(back.support_x, ep.support_x)
+    np.testing.assert_array_equal(back.query_y, ep.query_y)
+    np.testing.assert_array_equal(back.sampled_classes, ep.sampled_classes)
+
+
+def test_static_test_dataset_materialise_and_reload(ds):
+    kw = dict(cvfold=0, num_episode_per_comb=1, n_way=2, k_shot=2,
+              n_queries=1, num_point=64, mode="valid", seed=0)
+    d1 = StaticTestDataset(ds, "s3dis", **kw)
+    # C(6,2)=15 combos x 1 episode
+    assert len(d1) == 15
+    d2 = StaticTestDataset(ds, "s3dis", **kw)  # second time: loaded from disk
+    assert len(d2) == 15
+    ep = d2[0]
+    assert ep.support_x.shape == (2, 2, 64, 9)
+
+
+def test_episode_loader_batches(ds):
+    s = EpisodeSampler(ds, "s3dis", cvfold=0, n_way=2, k_shot=2,
+                       n_queries=1, mode="train", num_point=64, seed=0)
+    loader = EpisodeLoader(s.sample, num_batches=3, episode_batch=2,
+                           n_workers=1)
+    batches = list(loader)
+    assert len(batches) == 3
+    assert batches[0].support_x.shape == (2, 2, 2, 64, 9)

@@ -1,0 +1,250 @@
+"""Unit tests for the core ops against tiny numpy oracles transliterated
+from the cited reference lines (see SURVEY.md section 4 test plan)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from r3dfsseg_tpu.ops import (
+    pairwise_sqdist,
+    knn_indices,
+    gather_neighbors,
+    masked_fps,
+    multi_prototypes,
+    segment_mean,
+    masked_mean,
+    local_constrained_affinity,
+    label_propagate,
+    grid_seed_pool,
+)
+
+
+# ---------------------------------------------------------------- knn ----
+def test_pairwise_sqdist_matches_numpy(rng):
+    x = rng.normal(size=(5, 7)).astype(np.float32)
+    y = rng.normal(size=(6, 7)).astype(np.float32)
+    want = ((x[:, None, :] - y[None, :, :]) ** 2).sum(-1)
+    got = np.asarray(pairwise_sqdist(jnp.asarray(x), jnp.asarray(y)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_knn_includes_self_like_dgcnn(rng):
+    # reference EdgeConv kNN keeps self as a neighbour (dgcnn.py:17-23)
+    x = rng.normal(size=(16, 3)).astype(np.float32)
+    idx = np.asarray(knn_indices(jnp.asarray(x), k=4))
+    d = ((x[:, None] - x[None]) ** 2).sum(-1)
+    for i in range(16):
+        want = set(np.argsort(d[i])[:4].tolist())
+        assert set(idx[i].tolist()) == want
+        assert i in idx[i]  # self included
+
+
+def test_knn_exclude_self_and_valid(rng):
+    x = rng.normal(size=(10, 3)).astype(np.float32)
+    valid = np.ones(10, bool); valid[7:] = False
+    idx = np.asarray(knn_indices(jnp.asarray(x), k=3,
+                                 valid=jnp.asarray(valid), exclude_self=True))
+    for i in range(10):
+        assert i not in idx[i]
+        assert all(j < 7 for j in idx[i])
+
+
+def test_gather_neighbors(rng):
+    x = rng.normal(size=(2, 8, 5)).astype(np.float32)
+    idx = rng.integers(0, 8, size=(2, 8, 3)).astype(np.int32)
+    got = np.asarray(gather_neighbors(jnp.asarray(x), jnp.asarray(idx)))
+    for b in range(2):
+        for n in range(8):
+            for k in range(3):
+                np.testing.assert_array_equal(got[b, n, k], x[b, idx[b, n, k]])
+
+
+# ---------------------------------------------------------------- fps ----
+def _fps_oracle(x, n_valid, k):
+    """Greedy farthest point sampling starting at point 0 (random_start=False)."""
+    pts = x[:n_valid]
+    chosen = [0]
+    mind = ((pts - pts[0]) ** 2).sum(-1)
+    for _ in range(min(k, n_valid) - 1):
+        nxt = int(np.argmax(mind))
+        chosen.append(nxt)
+        mind = np.minimum(mind, ((pts - pts[nxt]) ** 2).sum(-1))
+    return chosen
+
+
+def test_masked_fps_matches_greedy_oracle(rng):
+    x = rng.normal(size=(20, 4)).astype(np.float32)
+    valid = np.ones(20, bool); valid[15:] = False
+    idx, ok = masked_fps(jnp.asarray(x), jnp.asarray(valid), 6)
+    idx, ok = np.asarray(idx), np.asarray(ok)
+    want = _fps_oracle(x, 15, 6)
+    assert ok.sum() == 6
+    np.testing.assert_array_equal(idx[:6], want)
+
+
+def test_masked_fps_fewer_points_than_k(rng):
+    x = rng.normal(size=(10, 3)).astype(np.float32)
+    valid = np.zeros(10, bool); valid[2:6] = True  # 4 valid points
+    idx, ok = masked_fps(jnp.asarray(x), jnp.asarray(valid), 7)
+    idx, ok = np.asarray(idx), np.asarray(ok)
+    assert ok.sum() == 4
+    # all valid points selected exactly once in the valid slots
+    assert set(idx[:4].tolist()) == {2, 3, 4, 5}
+
+
+def test_multi_prototypes_identity_when_small(rng):
+    # ratio >= 1 branch (mpti.py:631-634): every point is its own prototype
+    x = rng.normal(size=(8, 5)).astype(np.float32)
+    valid = np.zeros(8, bool); valid[:3] = True
+    out = multi_prototypes(jnp.asarray(x), jnp.asarray(valid), 5)
+    protos = np.asarray(out.prototypes)[np.asarray(out.proto_valid)]
+    # set equality: the 3 valid points, order = FPS order
+    got = {tuple(np.round(r, 5)) for r in protos}
+    want = {tuple(np.round(r, 5)) for r in x[:3]}
+    assert got == want
+
+
+def test_multi_prototypes_cluster_means(rng):
+    # two well-separated blobs, k=2 -> prototypes == blob means
+    a = rng.normal(size=(10, 3)).astype(np.float32) * 0.01
+    b = rng.normal(size=(10, 3)).astype(np.float32) * 0.01 + 100.0
+    x = np.concatenate([a, b])
+    valid = np.ones(20, bool)
+    out = multi_prototypes(jnp.asarray(x), jnp.asarray(valid), 2)
+    protos = np.asarray(out.prototypes)
+    assert np.asarray(out.proto_valid).all()
+    means = sorted([a.mean(0).sum(), b.mean(0).sum()])
+    got = sorted([protos[0].sum(), protos[1].sum()])
+    np.testing.assert_allclose(got, means, rtol=1e-4)
+    assign = np.asarray(out.assignments)
+    assert len(np.unique(assign[:10])) == 1 and len(np.unique(assign[10:])) == 1
+
+
+# ------------------------------------------------------------ segment ----
+def test_segment_mean(rng):
+    x = rng.normal(size=(12, 4)).astype(np.float32)
+    ids = rng.integers(0, 3, size=12)
+    got = np.asarray(segment_mean(jnp.asarray(x), jnp.asarray(ids), 4))
+    for s in range(3):
+        np.testing.assert_allclose(got[s], x[ids == s].mean(0), rtol=1e-5)
+    np.testing.assert_allclose(got[3], 0.0)  # empty segment -> 0
+
+
+def test_masked_mean(rng):
+    x = rng.normal(size=(3, 6)).astype(np.float32)
+    m = rng.integers(0, 2, size=(3, 6)).astype(np.float32)
+    got = np.asarray(masked_mean(jnp.asarray(x), jnp.asarray(m), axis=1))
+    want = (x * m).sum(1) / (m.sum(1) + 1e-5)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+# ----------------------------------------------------------- affinity ----
+def _affinity_oracle(x, k, sigma, valid=None):
+    """Transliteration of calculateLocalConstrainedAffinity (mpti.py:717-756)."""
+    n = x.shape[0]
+    d2 = ((x[:, None] - x[None]) ** 2).sum(-1)
+    d2s = d2.copy()
+    np.fill_diagonal(d2s, np.inf)
+    if valid is not None:
+        d2s[:, ~valid] = np.inf
+    idx = np.argsort(d2s, axis=1, kind="stable")[:, :k]
+    a = np.zeros((n, n), np.float32)
+    for i in range(n):
+        for j in idx[i]:
+            a[i, j] = np.exp(-0.5 * d2[i, j] / sigma**2)
+    a = a + a.T
+    np.fill_diagonal(a, 0)
+    if valid is not None:
+        a = a * valid[:, None] * valid[None, :]
+    return a
+
+
+def test_affinity_matches_oracle(rng):
+    x = rng.normal(size=(30, 6)).astype(np.float32)
+    got = np.asarray(local_constrained_affinity(jnp.asarray(x), k=5, sigma=1.3))
+    want = _affinity_oracle(x, 5, 1.3)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_affinity_masks_invalid_nodes(rng):
+    x = rng.normal(size=(20, 4)).astype(np.float32)
+    valid = np.ones(20, bool); valid[17:] = False
+    got = np.asarray(local_constrained_affinity(
+        jnp.asarray(x), k=4, sigma=1.0, valid=jnp.asarray(valid)))
+    want = _affinity_oracle(x, 4, 1.0, valid)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    assert (got[17:] == 0).all() and (got[:, 17:] == 0).all()
+
+
+# ------------------------------------------------------------------ lp ----
+def _lp_oracle(a, y, alpha=0.99):
+    """Transliteration of label_propagate (mpti.py:758-776)."""
+    eps = np.finfo(float).eps
+    d = a.sum(1)
+    dsi = np.sqrt(1.0 / (d + eps))
+    s = np.diag(dsi) @ a @ np.diag(dsi)
+    return np.linalg.inv(np.eye(a.shape[0]) - alpha * s + eps) @ y
+
+
+@pytest.mark.parametrize("solver", ["solve", "cg"])
+def test_label_propagate_matches_oracle(rng, solver):
+    x = rng.normal(size=(40, 5)).astype(np.float32)
+    a = _affinity_oracle(x, 8, 1.0)
+    y = np.zeros((40, 3), np.float32)
+    y[:6] = np.eye(3, dtype=np.float32)[rng.integers(0, 3, 6)]
+    want = _lp_oracle(a.astype(np.float64), y.astype(np.float64))
+    got = np.asarray(label_propagate(jnp.asarray(a), jnp.asarray(y),
+                                     solver=solver, cg_iters=200))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_label_propagate_grad_flows(rng):
+    x = rng.normal(size=(12, 3)).astype(np.float32)
+
+    def loss(xx):
+        a = local_constrained_affinity(xx, k=4, sigma=1.0)
+        y = jnp.zeros((12, 2)).at[0, 0].set(1.0).at[1, 1].set(1.0)
+        z = label_propagate(a, y, solver="cg", cg_iters=50)
+        return jnp.sum(z[2:] ** 2)
+
+    g = jax.grad(loss)(jnp.asarray(x))
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).sum() > 0
+
+
+# ---------------------------------------------------------------- grid ----
+def _grid_oracle(xyz, feat, valid, n_cells):
+    """Transliteration of grid_sampling (mpti.py:316-371) with slots."""
+    pts, ft = xyz[valid], feat[valid]
+    lo, hi = pts.min(0), pts.max(0)
+    # f32 stride arithmetic matches torch (mpti.py:337-339); numpy would
+    # silently promote f32/int to f64 and move the closed-interval bounds
+    d = (hi - lo) / np.asarray(n_cells, np.float32)
+    seeds, ok = [], []
+    for ix in range(n_cells[0]):
+        for iy in range(n_cells[1]):
+            for iz in range(n_cells[2]):
+                start = lo + d * np.asarray([ix, iy, iz], np.float32)
+                m = np.ones(len(pts), bool)
+                for ax in range(3):
+                    m &= (pts[:, ax] >= start[ax]) & (pts[:, ax] <= start[ax] + d[ax])
+                if m.sum() > 0:
+                    seeds.append(ft[m].mean(0)); ok.append(True)
+                else:
+                    seeds.append(np.zeros(feat.shape[1])); ok.append(False)
+    return np.stack(seeds), np.asarray(ok)
+
+
+def test_grid_seed_pool_matches_oracle(rng):
+    xyz = rng.uniform(size=(50, 3)).astype(np.float32)
+    feat = rng.normal(size=(50, 6)).astype(np.float32)
+    valid = rng.integers(0, 2, 50).astype(bool); valid[:5] = True
+    for cells in [(1, 1, 1), (2, 2, 1)]:
+        seeds, ok = grid_seed_pool(jnp.asarray(xyz), jnp.asarray(feat),
+                                   jnp.asarray(valid), cells)
+        wseeds, wok = _grid_oracle(xyz, feat, valid, cells)
+        np.testing.assert_array_equal(np.asarray(ok), wok)
+        # closed-interval cell bounds make membership razor-edge: XLA op
+        # fusion (FMA) can flip a boundary point in/out of a cell, shifting
+        # that cell's mean slightly — tolerate small absolute drift.
+        np.testing.assert_allclose(np.asarray(seeds), wseeds, rtol=1e-4, atol=6e-3)
