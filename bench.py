@@ -47,15 +47,17 @@ def main():
 
     learner.init(jax.tree.map(lambda x: x[0], batch))
 
-    # warmup / compile
+    # warmup / compile.  NOTE: on the tunnelled axon backend
+    # block_until_ready returns before remote execution completes, so
+    # timing must force a host materialisation (float()) every step.
     m = learner.train(batch)
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])
 
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         m = learner.train(batch)
-    jax.block_until_ready(m["loss"])
+        float(m["loss"])
     dt = time.perf_counter() - t0
 
     eps_per_sec = ebatch * iters / dt

@@ -187,6 +187,10 @@ class ProtoNetTransformer(nn.Module):
         fg_feat = masked_mean(sf, fg[..., None], axis=3)       # (E, w, k, d)
         bg_feat = masked_mean(sf, (~fg)[..., None], axis=3)
 
+        if self.is_initializing():
+            # touch the train-only head so its params exist in eval init
+            self.binary_head(jnp.zeros((1, d), sf.dtype))
+
         def per_episode(fg_e):
             z = fg_e.reshape(c.n_way * c.k_shot, d) @ self.proj_trans_in
             out = self.transformer(z, train=train)             # (w*(k+1), dm)

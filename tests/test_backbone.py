@@ -137,9 +137,39 @@ def test_train_mode_batchnorm_matches_torch(pair, rng):
     got = np.asarray(got)
     # Batch-stat normalisation divides by per-channel batch std; channels
     # whose edge features are nearly constant amplify f32 matmul-order
-    # noise by 1/std, so elementwise equality is unattainable even between
-    # two torch builds.  Assert distributional closeness instead: the bulk
-    # of elements match tightly and the mean drift is tiny.
-    err = np.abs(got - want)
-    assert np.quantile(err, 0.99) < 5e-2, np.quantile(err, 0.99)
-    assert err.mean() < 5e-3, err.mean()
+    # noise by 1/std and the amplification compounds across the 6 BN
+    # layers, so elementwise equality is unattainable even between two
+    # torch builds.  Assert relative agreement of the signal instead.
+    err = got - want
+    rel_rmse = np.sqrt((err ** 2).mean()) / np.sqrt((want ** 2).mean())
+    assert rel_rmse < 5e-2, rel_rmse
+    assert np.median(np.abs(err)) < 1e-2
+
+
+def test_train_mode_bn_running_stats_match_torch(pair, rng):
+    """The BN *statistics* path has no 1/std amplification: after one train
+    step the updated running mean/var must match torch (momentum 0.1,
+    unbiased running var)."""
+    tnet, fnet, variables = pair
+    x = rng.normal(size=(4, NPTS, CIN)).astype(np.float32)
+    import copy
+    tnet2 = copy.deepcopy(tnet)
+    tnet2.train()
+    with torch.no_grad():
+        tnet2(torch.from_numpy(x.transpose(0, 2, 1)))
+    tnet2.eval()
+    _, mut = fnet.apply(
+        variables, jnp.asarray(x), train=True, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(0)})
+    # first edgeconv's first BN layer: identical input -> identical stats
+    want_m = tnet2.encoder.edge_convs[0].layer[1].running_mean.numpy()
+    want_v = tnet2.encoder.edge_convs[0].layer[1].running_var.numpy()
+    got_m = np.asarray(
+        mut["batch_stats"]["encoder"]["edgeconv0"]["layer0"]["bn"]["mean"])
+    got_v = np.asarray(
+        mut["batch_stats"]["encoder"]["edgeconv0"]["layer0"]["bn"]["var"])
+    np.testing.assert_allclose(got_m, want_m, rtol=1e-3, atol=1e-5)
+    # torch keeps the *unbiased* variance in running stats while flax keeps
+    # the biased one; with B*N*K samples the correction is ~1/(B*N*K).
+    n = 4 * NPTS * K
+    np.testing.assert_allclose(got_v * n / (n - 1), want_v, rtol=2e-3, atol=1e-5)

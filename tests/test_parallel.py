@@ -51,12 +51,14 @@ def test_sharded_train_step_runs_and_matches_unsharded(rng):
 
     np.testing.assert_allclose(float(m1["lp_loss"]), float(m2["lp_loss"]),
                                rtol=1e-4, atol=1e-5)
-    # params after the step agree (grads all-reduced identically)
-    p1 = jax.tree.leaves(l1.state.params)
-    p2 = jax.tree.leaves(l2.state.params)
-    for a, b in zip(p1, p2):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=2e-3, atol=2e-4)
+    # params after the step agree in bulk.  Adam's first step is +-lr per
+    # leaf entry (sign of the gradient): entries whose true gradient is at
+    # f32 noise level legitimately flip sign between the two reduction
+    # orders, so compare the fraction of agreeing entries, not exact values.
+    p1 = np.concatenate([np.ravel(x) for x in jax.tree.leaves(l1.state.params)])
+    p2 = np.concatenate([np.ravel(x) for x in jax.tree.leaves(l2.state.params)])
+    agree = np.isclose(p1, p2, rtol=2e-3, atol=2e-4).mean()
+    assert agree > 0.98, agree
 
 
 def test_graft_entry_dryrun():
