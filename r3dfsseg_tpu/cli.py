@@ -84,8 +84,13 @@ def build_parser(eval_mode: bool = False) -> argparse.ArgumentParser:
     # ---- TPU-only ----
     p.add_argument("--episode_batch", type=int, default=1,
                    help="episodes fused into one jit step")
-    p.add_argument("--lp_solver", default="cg", choices=["cg", "solve"])
+    p.add_argument("--lp_solver", default="cg",
+                   choices=["cg", "cheby", "solve"])
     p.add_argument("--lp_cg_iters", type=int, default=50)
+    p.add_argument("--knn_impl", default="auto",
+                   choices=["auto", "pallas", "xla", "approx"])
+    p.add_argument("--affinity_impl", default="threshold",
+                   choices=["threshold", "topk"])
     p.add_argument("--compute_dtype", default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--profile_dir", type=str, default=None)
@@ -126,7 +131,9 @@ def args_to_config(args: argparse.Namespace, eval_mode: bool = False) -> R3DConf
         noise_type=getattr(args, "noise_type", "sym"),
         shot_seed=args.shot_seed, seed=args.seed,
         episode_batch=args.episode_batch, lp_solver=args.lp_solver,
-        lp_cg_iters=args.lp_cg_iters, compute_dtype=args.compute_dtype,
+        lp_cg_iters=args.lp_cg_iters, knn_impl=args.knn_impl,
+        affinity_impl=args.affinity_impl,
+        compute_dtype=args.compute_dtype,
         profile_dir=args.profile_dir,
         log_dir=args.log_dir if hasattr(args, "log_dir") else "debug",
     )

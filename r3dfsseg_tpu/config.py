@@ -84,8 +84,10 @@ class R3DConfig:
 
     # ------------------------------------------------------ TPU-only knobs
     episode_batch: int = 1                 # episodes fused into one jit step
-    lp_solver: str = "cg"                  # cg | solve (dense)
+    lp_solver: str = "cg"                  # cg | cheby | solve (dense)
     lp_cg_iters: int = 50
+    knn_impl: str = "auto"                 # auto | pallas | xla | approx
+    affinity_impl: str = "threshold"       # threshold (fast) | topk (tie parity)
     compute_dtype: str = "float32"         # float32 | bfloat16 (encoder matmuls)
     mesh_shape: Optional[Tuple[int, ...]] = None   # None => single chip
     profile_dir: Optional[str] = None      # jax.profiler trace output

@@ -185,7 +185,8 @@ class MPTINet(nn.Module):
             tuple(tuple(w) for w in c.edgeconv_widths),
             tuple(c.dgcnn_mlp_widths), tuple(c.base_widths),
             c.output_dim, dgcnn_k=c.dgcnn_k, use_attention=c.use_attention,
-            attn_dropout=c.attn_dropout, name="features")
+            attn_dropout=c.attn_dropout, knn_impl=c.knn_impl,
+            name="features")
         self.proj = nn.Dense(c.proj_dim, name="proj")  # mpti.py:83
 
     # ------------------------------------------------------------------
@@ -343,7 +344,8 @@ def _mpti_core(
         [proto_labels, jnp.zeros((qflat.shape[0], n_classes), jnp.float32)], axis=0)
 
     # ---- affinity + label propagation (mpti.py:511-512,717-776) ----
-    a = local_constrained_affinity(node_feat, c.k_connect, c.sigma, valid=node_valid)
+    a = local_constrained_affinity(node_feat, c.k_connect, c.sigma,
+                                   valid=node_valid, impl=c.affinity_impl)
     z = label_propagate(a, y0, c.lp_alpha, solver=c.lp_solver, cg_iters=c.lp_cg_iters)
 
     n_protos = (n_way + 1) * np_

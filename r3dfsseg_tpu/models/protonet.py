@@ -54,7 +54,8 @@ class ProtoNet(nn.Module):
             tuple(tuple(w) for w in c.edgeconv_widths),
             tuple(c.dgcnn_mlp_widths), tuple(c.base_widths),
             c.output_dim, dgcnn_k=c.dgcnn_k, use_attention=c.use_attention,
-            attn_dropout=c.attn_dropout, name="features")
+            attn_dropout=c.attn_dropout, knn_impl=c.knn_impl,
+            name="features")
         if self.with_contrast:
             self.proj = nn.Dense(c.proj_dim, name="proj")
 

@@ -155,7 +155,8 @@ class ProtoNetTransformer(nn.Module):
             tuple(tuple(w) for w in c.edgeconv_widths),
             tuple(c.dgcnn_mlp_widths), tuple(c.base_widths),
             c.output_dim, dgcnn_k=c.dgcnn_k, use_attention=c.use_attention,
-            attn_dropout=c.attn_dropout, name="features")
+            attn_dropout=c.attn_dropout, knn_impl=c.knn_impl,
+            name="features")
         # orthogonal-initialised in/out projections, out starts as a copy of
         # in (protonet.py:1134-1139)
         self.proj_trans_in = self.param(

@@ -30,6 +30,7 @@ def local_constrained_affinity(
     *,
     valid: Array | None = None,
     method: str = "gaussian",
+    impl: str = "threshold",
 ) -> Array:
     """Symmetric kNN affinity with zero diagonal (mpti.py:717-756).
 
@@ -40,44 +41,78 @@ def local_constrained_affinity(
       valid: optional (N,) bool; invalid (padding) nodes get zero rows/cols
         and are never selected as neighbours.
       method: 'gaussian' | 'cosine' (mpti.py:742-746).
+      impl: neighbour selection —
+        'threshold': per-row k-th-distance via vectorised binary search,
+          then an elementwise mask builds A directly.  No sort, no scatter:
+          ~3x faster than top_k at k=200 on TPU.  Exact-distance ties at
+          the k-th radius admit every tied neighbour (measure-zero for
+          continuous features).
+        'topk': exact lax.top_k + scatter (reference tie-break parity).
     Returns:
       (N, N) affinity matrix A = A_knn + A_knn^T with zero diagonal.
     """
     n = node_feat.shape[0]
     f32 = node_feat.astype(jnp.float32)
-    # The reference detaches features for the faiss index build
-    # (mpti.py:731) — neighbour *selection* carries no gradient, while the
-    # similarity values do.
-    sel = jax.lax.stop_gradient(f32)
 
-    sqd_sel = pairwise_sqdist(sel)
+    # ONE distance matrix: gradients flow through the similarity values
+    # while neighbour *selection* sees a detached copy — the reference
+    # behaves the same way via its CPU faiss round-trip (mpti.py:731).
+    sqd = pairwise_sqdist(f32)
     big = jnp.asarray(3.4e38, jnp.float32)
     eye = jnp.eye(n, dtype=bool)
-    sqd_sel = jnp.where(eye, big, sqd_sel)          # drop self (I[:, 1:], mpti.py:736)
+    sel = jax.lax.stop_gradient(sqd)
+    sel = jnp.where(eye, big, sel)                  # drop self (mpti.py:736)
     if valid is not None:
-        sqd_sel = jnp.where(valid[None, :], sqd_sel, big)
-    _, idx = jax.lax.top_k(-sqd_sel, k)             # (N, k)
+        sel = jnp.where(valid[None, :], sel, big)
 
     if method == "gaussian":
-        # differentiable similarity on the selected edges
-        sqd = pairwise_sqdist(f32)
-        edge_sqd = jnp.take_along_axis(sqd, idx, axis=1)       # (N, k)
-        sim = jnp.exp(-0.5 * edge_sqd / (sigma * sigma))
+        sim_full = jnp.exp(-0.5 * sqd / (sigma * sigma))
     elif method == "cosine":
         norm = f32 / (jnp.linalg.norm(f32, axis=-1, keepdims=True) + 1e-12)
-        cos = jnp.einsum("nc,mc->nm", norm, norm,
-                         preferred_element_type=jnp.float32)
-        sim = jnp.take_along_axis(cos, idx, axis=1)
+        sim_full = jnp.einsum("nc,mc->nm", norm, norm,
+                              preferred_element_type=jnp.float32)
     else:
         raise NotImplementedError(f"unknown affinity method {method!r}")
 
-    a = jnp.zeros((n, n), jnp.float32).at[jnp.arange(n)[:, None], idx].set(sim)
+    if impl == "threshold":
+        radius = _kth_smallest_per_row(sel, k)              # (N, 1)
+        a = jnp.where(sel <= radius, sim_full, 0.0)
+    elif impl == "topk":
+        _, idx = jax.lax.top_k(-sel, k)                     # (N, k)
+        sim = jnp.take_along_axis(sim_full, idx, axis=1)
+        a = jnp.zeros((n, n), jnp.float32).at[
+            jnp.arange(n)[:, None], idx].set(sim)
+    else:
+        raise NotImplementedError(f"unknown affinity impl {impl!r}")
+
     a = a + a.T                                      # symmetrise (mpti.py:752)
     a = jnp.where(eye, 0.0, a)                       # zero diagonal (mpti.py:754-755)
     if valid is not None:
         v = valid.astype(jnp.float32)
         a = a * v[:, None] * v[None, :]
     return a
+
+
+def _kth_smallest_per_row(d: Array, k: int, iters: int = 32) -> Array:
+    """Per-row k-th smallest value via vectorised bisection on the value
+    range.  Each iteration is one elementwise pass + row-sum over the
+    matrix — bandwidth-bound, no sort.  Returns (N, 1), the smallest
+    per-row radius t with |{j : d_ij <= t}| >= k (up to f32 bisection
+    resolution, biased upward so at least k neighbours survive)."""
+    finite = jnp.where(d >= 3.4e38, -jnp.inf, d)
+    lo = jnp.zeros((d.shape[0], 1), jnp.float32)
+    hi = jnp.full((d.shape[0], 1), 1.0, jnp.float32) * jnp.maximum(
+        jnp.max(jnp.where(jnp.isfinite(finite), finite, 0.0)), 1e-6)
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        cnt = jnp.sum((d <= mid).astype(jnp.float32), axis=1, keepdims=True)
+        ge = cnt >= k
+        return jnp.where(ge, lo, mid), jnp.where(ge, mid, hi)
+
+    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    return hi
 
 
 def _normalized_propagation_matrix(a: Array) -> Array:
@@ -115,6 +150,24 @@ def label_propagate(
         m = jnp.eye(n, dtype=jnp.float32) - alpha * s + eps
         return jax.scipy.linalg.solve(m, y)
 
+    if solver == "cheby":
+        # Chebyshev semi-iteration on known spectral bounds: eig(S) in
+        # [-1, 1] => eig(I - alpha*S) in [1-alpha, 1+alpha].  One matvec per
+        # iteration and ZERO inner products — CG spends most of its TPU
+        # wall-clock in 3 scalar reductions per step, Chebyshev spends none
+        # (the eps*J rank-one term, ~2e-16, is dropped: invisible in f32).
+        def matvec(z):
+            sz = jnp.einsum("nm,mc->nc", s, z,
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+            return z - alpha * sz
+
+        def solve_fn(mv, b):
+            return _chebyshev(mv, b, 1.0 - alpha, 1.0 + alpha,
+                              iters=max(cg_iters, 1))
+
+        return jax.lax.custom_linear_solve(matvec, y, solve_fn, symmetric=True)
+
     if solver == "cg":
         def matvec(z):
             # (I - alpha*S + eps*J) z  without materialising eps*J.
@@ -133,6 +186,35 @@ def label_propagate(
         return jax.lax.custom_linear_solve(matvec, y, solve_fn, symmetric=True)
 
     raise NotImplementedError(f"unknown LP solver {solver!r}")
+
+
+def _chebyshev(matvec, b: Array, lmin: float, lmax: float, iters: int) -> Array:
+    """Chebyshev iteration for SPD systems with known eigenvalue bounds
+    (Saad, 'Iterative Methods for Sparse Linear Systems', alg. 12.1).
+
+    Differentiable: wrapped in custom_linear_solve by the caller via the
+    same symmetric matvec.
+    """
+    theta = 0.5 * (lmax + lmin)
+    delta = 0.5 * (lmax - lmin)
+    sigma1 = theta / delta
+
+    x = jnp.zeros_like(b)
+    r = b
+    d = r / theta
+    x = x + d
+    rho = 1.0 / sigma1
+
+    def body(_, carry):
+        x, r, d, rho = carry
+        r = r - matvec(d)
+        rho_new = 1.0 / (2.0 * sigma1 - rho)
+        d = rho_new * rho * d + (2.0 * rho_new / delta) * r
+        x = x + d
+        return x, r, d, rho_new
+
+    x, _, _, _ = jax.lax.fori_loop(0, iters - 1, body, (x, r, d, rho))
+    return x
 
 
 def _block_cg(matvec, b: Array, iters: int, refresh: int = 25) -> Array:

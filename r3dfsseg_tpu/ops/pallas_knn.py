@@ -1,0 +1,77 @@
+"""Pallas fused pairwise-distance + top-k kNN kernel for TPU.
+
+The XLA path (`ops/knn.py`) materialises the (N, N) distance matrix in HBM
+and runs `lax.top_k`, which lowers to a per-row sort — measured 23 ms for
+the EdgeConv shape (12 clouds x 2048^2, k=20) on v5e, ~7x the cost of the
+distance matmul itself.  This kernel keeps a (TILE_N, N) distance tile in
+VMEM and extracts the k minima with k iterative masked min-reductions
+(VPU-friendly, no sort, no HBM round-trip for the distance matrix).
+
+Semantics match `knn_indices`: squared Euclidean distances, self included,
+ties resolved to the lowest index (same as lax.top_k on negated distances).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+_BIG = 3.4e38
+
+
+def _knn_kernel(q_ref, keys_ref, idx_ref, *, k: int, n_keys: int):
+    """One (TILE_N, C) query tile vs all (N, C) keys of the same cloud."""
+    q = q_ref[0].astype(jnp.float32)          # (TILE_N, C)
+    keys = keys_ref[0].astype(jnp.float32)    # (N, C)
+
+    qq = jnp.sum(q * q, axis=1, keepdims=True)            # (T, 1)
+    kk = jnp.sum(keys * keys, axis=1, keepdims=True)      # (N, 1)
+    inner = jax.lax.dot_general(
+        q, keys, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                                     # (T, N)
+    d = qq - 2.0 * inner + kk.T
+
+    col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)  # (T, N)
+
+    outs = []
+    for _ in range(k):  # static unroll: k masked min-reductions
+        # argmin with lowest-index tie-break: min distance, then min index
+        m = jnp.min(d, axis=1, keepdims=True)              # (T, 1)
+        idx = jnp.min(jnp.where(d <= m, col, n_keys), axis=1)  # (T,)
+        outs.append(idx.astype(jnp.int32))
+        d = jnp.where(col == idx[:, None], _BIG, d)        # mask selection out
+    idx_ref[0] = jnp.stack(outs, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile_n"))
+def knn_indices_pallas(x: Array, k: int, *, tile_n: int = 256) -> Array:
+    """Fused kNN: x (B, N, C) -> (B, N, k) int32 neighbour indices.
+
+    Requires N % tile_n == 0 (point counts here are powers of two).
+    """
+    b, n, c = x.shape
+    if n % tile_n:
+        tile_n = min(tile_n, n)
+        while n % tile_n:
+            tile_n //= 2
+    grid = (b, n // tile_n)
+    return pl.pallas_call(
+        functools.partial(_knn_kernel, k=k, n_keys=n),
+        out_shape=jax.ShapeDtypeStruct((b, n, k), jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile_n, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_n, k), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+    )(x, x)

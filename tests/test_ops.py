@@ -186,7 +186,7 @@ def _lp_oracle(a, y, alpha=0.99):
     return np.linalg.inv(np.eye(a.shape[0]) - alpha * s + eps) @ y
 
 
-@pytest.mark.parametrize("solver", ["solve", "cg"])
+@pytest.mark.parametrize("solver", ["solve", "cg", "cheby"])
 def test_label_propagate_matches_oracle(rng, solver):
     x = rng.normal(size=(40, 5)).astype(np.float32)
     a = _affinity_oracle(x, 8, 1.0)
