@@ -71,7 +71,23 @@ def train(cfg: R3DConfig):
 
     best_iou = 0.0
     eval_every = max(cfg.eval_interval // max(cfg.episode_batch, 1), 1)
+    if cfg.profile_dir:
+        # optional device trace of the first few steps (SURVEY section 5:
+        # the reference has no profiling at all)
+        import jax
+        try:
+            jax.profiler.start_trace(cfg.profile_dir)
+        except Exception as e:
+            logger.cprint(f"profiler unavailable: {e}")
+    import time as _time
+    t_start = _time.perf_counter()
     for step, batch in enumerate(loader):
+        if cfg.profile_dir and step == 3:
+            import jax
+            try:
+                jax.profiler.stop_trace()
+            except Exception:
+                pass
         metrics = learner.train(batch)
         it = (step + 1) * cfg.episode_batch
         logger.cprint(
@@ -87,6 +103,10 @@ def train(cfg: R3DConfig):
                   "query_acc_LP", "query_acc_original"):
             if k in metrics:
                 writer.add_scalar(f"Train/{k}", metrics[k], it)
+        if (step + 1) % 100 == 0:
+            eps_s = it / (_time.perf_counter() - t_start)
+            writer.add_scalar("Train/episodes_per_sec", eps_s, it)
+            logger.cprint("== throughput: %.2f episodes/s ==" % eps_s)
 
         if (step + 1) % eval_every == 0:
             valid_loss, mean_iou = test_few_shot(

@@ -110,6 +110,35 @@ class NoisyEpisodeSampler(EpisodeSampler):
             assert isinstance(noise_ratio, (list, tuple)), \
                 "train noise_ratio must be a list (loader.py:587)"
 
+    def sample_bg_pcds(self, sampled_classes, blacklist, n_bg_cls: int = 4,
+                       per_bg: int = 1):
+        """Background point clouds from classes outside the episode
+        (loader.py:853-887).  The reference returns these with every train
+        episode but the model never consumes them — exposed here as an
+        opt-in API instead of dead per-episode work.
+
+        Returns (pcds (n, num_point, attrs), masks (n, num_point))."""
+        rng = self.rng
+        bg_classes = [c for c in self.classes if c not in sampled_classes]
+        n_bg_cls = min(n_bg_cls, len(bg_classes))
+        feats, labels = [], []
+        from r3dfsseg_tpu.data.sampler import sample_k_scans
+        for _ in range(n_bg_cls):
+            cls = int(rng.choice(bg_classes))
+            bg_classes.remove(cls)
+            cands = [s for s in self.class2scans[cls] if s not in blacklist]
+            scan = rng.choice(cands, per_bg, replace=False)
+            blacklist.extend(scan)
+            pt, lb, _, _ = sample_k_scans(
+                self.data_path, self.num_point, self.pc_attribs, scan,
+                sampled_class=cls, sampled_classes=sampled_classes,
+                is_support=True, pc_augm=self.pc_augm,
+                pc_augm_config=self.pc_augm_config, rng=rng)
+            feats.append(pt)
+            labels.append(lb)
+        return (np.concatenate(feats).astype(np.float32),
+                np.concatenate(labels).astype(np.int32))
+
     def _episode(self, sampled_classes: np.ndarray) -> Episode:
         rng = self.rng
         if self.mode == "train":

@@ -156,6 +156,7 @@ class ProtoNetTransformer(nn.Module):
             tuple(c.dgcnn_mlp_widths), tuple(c.base_widths),
             c.output_dim, dgcnn_k=c.dgcnn_k, use_attention=c.use_attention,
             attn_dropout=c.attn_dropout, knn_impl=c.knn_impl,
+            dtype=(jnp.bfloat16 if c.compute_dtype == "bfloat16" else None),
             name="features")
         # orthogonal-initialised in/out projections, out starts as a copy of
         # in (protonet.py:1134-1139)

@@ -7,3 +7,4 @@ from r3dfsseg_tpu.nn.dgcnn import (  # noqa: F401
     FeatureExtractor,
     DGCNNSegAttention,
 )
+from r3dfsseg_tpu.nn.nonlocal_block import NonLocalBlock  # noqa: F401

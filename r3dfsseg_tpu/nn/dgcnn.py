@@ -19,7 +19,7 @@ see `r3dfsseg_tpu.utils.torch_convert`.
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -41,10 +41,12 @@ class ConvBN(nn.Module):
     use_bias: bool = False
     relu: bool = True
     negative_slope: float = 0.2
+    dtype: Any = None          # compute dtype (bf16 keeps params/BN in f32)
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
-        x = nn.Dense(self.features, use_bias=self.use_bias, name="conv")(x)
+        x = nn.Dense(self.features, use_bias=self.use_bias, dtype=self.dtype,
+                     name="conv")(x)
         # use_fast_variance=False: the E[x^2]-E[x]^2 shortcut cancels
         # catastrophically in f32 on edge features whose mean >> std,
         # drifting ~2e-2 per block from the torch two-pass variance.
@@ -74,6 +76,7 @@ class EdgeConv(nn.Module):
     widths: Tuple[int, ...]
     k: int = 20
     knn_impl: str = "auto"
+    dtype: Any = None
 
     def _knn(self, x: Array) -> Array:
         impl = self.knn_impl
@@ -95,7 +98,7 @@ class EdgeConv(nn.Module):
         central = jnp.broadcast_to(x[:, :, None, :], nbr.shape)
         e = jnp.concatenate([nbr - central, central], axis=-1)
         for i, w in enumerate(self.widths):
-            e = ConvBN(w, name=f"layer{i}")(e, train=train)
+            e = ConvBN(w, dtype=self.dtype, name=f"layer{i}")(e, train=train)
         return jnp.max(e, axis=2)                             # max over K
 
 
@@ -110,6 +113,7 @@ class DGCNN(nn.Module):
     k: int = 20
     return_edgeconvs: bool = False
     knn_impl: str = "auto"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False):
@@ -117,11 +121,11 @@ class DGCNN(nn.Module):
         h = x
         for i, widths in enumerate(self.edgeconv_widths):
             h = EdgeConv(tuple(widths), k=self.k, knn_impl=self.knn_impl,
-                         name=f"edgeconv{i}")(h, train=train)
+                         dtype=self.dtype, name=f"edgeconv{i}")(h, train=train)
             outs.append(h)
         h = jnp.concatenate(outs, axis=-1)
         for i, w in enumerate(self.mlp_widths):
-            h = ConvBN(w, name=f"mlp{i}")(h, train=train)
+            h = ConvBN(w, dtype=self.dtype, name=f"mlp{i}")(h, train=train)
         if self.return_edgeconvs:
             return outs, h
         return outs[0], h
@@ -131,12 +135,14 @@ class BaseLearner(nn.Module):
     """Conv1d+BN stack with ReLU between layers, none after the last
     (mpti.py:18-40)."""
     widths: Tuple[int, ...] = (128, 64)
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         n = len(self.widths)
         for i, w in enumerate(self.widths):
-            x = ConvBN(w, use_bias=True, relu=False, name=f"conv{i}")(x, train=train)
+            x = ConvBN(w, use_bias=True, relu=False, dtype=self.dtype,
+                       name=f"conv{i}")(x, train=train)
             if i != n - 1:
                 x = nn.relu(x)
         return x
@@ -150,13 +156,14 @@ class SelfAttention(nn.Module):
     """
     out_channel: int
     attn_dropout: float = 0.1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         d = self.out_channel
-        q = nn.Dense(d, use_bias=False, name="q_map")(x)      # (B, N, d)
-        k = nn.Dense(d, use_bias=False, name="k_map")(x)
-        v = nn.Dense(d, use_bias=False, name="v_map")(x)
+        q = nn.Dense(d, use_bias=False, dtype=self.dtype, name="q_map")(x)
+        k = nn.Dense(d, use_bias=False, dtype=self.dtype, name="k_map")(x)
+        v = nn.Dense(d, use_bias=False, dtype=self.dtype, name="v_map")(x)
         attn = jnp.einsum("bnd,bmd->bnm", q / jnp.sqrt(d).astype(q.dtype), k,
                           preferred_element_type=jnp.float32)
         attn = jax.nn.softmax(attn, axis=-1)
@@ -181,21 +188,25 @@ class FeatureExtractor(nn.Module):
     use_attention: bool = True
     attn_dropout: float = 0.1
     knn_impl: str = "auto"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         feat1, feat2 = DGCNN(
             self.edgeconv_widths, self.dgcnn_mlp_widths, k=self.dgcnn_k,
-            knn_impl=self.knn_impl, name="encoder",
+            knn_impl=self.knn_impl, dtype=self.dtype, name="encoder",
         )(x, train=train)
-        feat3 = BaseLearner(self.base_widths, name="base_learner")(feat2, train=train)
+        feat3 = BaseLearner(self.base_widths, dtype=self.dtype,
+                            name="base_learner")(feat2, train=train)
         if self.use_attention:
             mid = SelfAttention(self.output_dim, self.attn_dropout,
+                                dtype=self.dtype,
                                 name="att_learner")(feat2, train=train)
         else:
             mid = nn.Dense(self.output_dim, use_bias=False,
                            name="linear_mapper")(feat2)
-        return jnp.concatenate([feat1, mid, feat3], axis=-1)
+        out = jnp.concatenate([feat1, mid, feat3], axis=-1)
+        return out.astype(jnp.float32)  # episode graph math stays f32
 
 
 class DGCNNSegAttention(nn.Module):
@@ -203,7 +214,8 @@ class DGCNNSegAttention(nn.Module):
 
     Re-design of `DGCNNSeg_attention` (dgcnn.py:185-217): full-scene
     semantic segmentation used to pretrain the encoder before episode
-    meta-training (README.md:43-44).
+    meta-training (README.md:43-44).  With v2=True only level-1 + attention
+    features feed the segmenter (`DGCNNSeg_attention_v2`, dgcnn.py:220-255).
     """
     num_classes: int
     edgeconv_widths: Tuple[Tuple[int, ...], ...] = ((64, 64), (64, 64), (64, 64))
@@ -211,6 +223,7 @@ class DGCNNSegAttention(nn.Module):
     dgcnn_k: int = 20
     atten_dim: int = 128
     dropout: float = 0.3
+    v2: bool = False
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False, return_feat: bool = False):
@@ -219,9 +232,12 @@ class DGCNNSegAttention(nn.Module):
             return_edgeconvs=True, name="encoder",
         )(x, train=train)
         h = SelfAttention(self.atten_dim, name="att_learner")(h, train=train)
-        g = jnp.max(h, axis=1, keepdims=True)                 # global feature
-        feats = outs + [jnp.broadcast_to(g, h.shape)]
-        pc_feat = jnp.concatenate(feats, axis=-1)
+        if self.v2:
+            pc_feat = jnp.concatenate([outs[0], h], axis=-1)  # dgcnn.py:246
+        else:
+            g = jnp.max(h, axis=1, keepdims=True)             # global feature
+            feats = outs + [jnp.broadcast_to(g, h.shape)]
+            pc_feat = jnp.concatenate(feats, axis=-1)
         z = ConvBN(256, name="seg0")(pc_feat, train=train)
         z = ConvBN(128, use_bias=True, name="seg1")(z, train=train)
         z = nn.Dropout(self.dropout, deterministic=not train)(z)
