@@ -94,12 +94,44 @@ class EdgeConv(nn.Module):
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         idx = self._knn(jax.lax.stop_gradient(x))             # (B, N, K)
-        nbr = gather_neighbors(x, idx)                        # (B, N, K, C)
-        central = jnp.broadcast_to(x[:, :, None, :], nbr.shape)
-        e = jnp.concatenate([nbr - central, central], axis=-1)
-        for i, w in enumerate(self.widths):
+        e = _EdgeFirstLayer(self.widths[0], dtype=self.dtype,
+                            name="layer0")(x, idx, train=train)
+        for i, w in enumerate(self.widths[1:], start=1):
             e = ConvBN(w, dtype=self.dtype, name=f"layer{i}")(e, train=train)
         return jnp.max(e, axis=2)                             # max over K
+
+
+class _EdgeFirstLayer(nn.Module):
+    """Factored first EdgeConv layer.
+
+    The reference materialises the (B, N, K, 2C) edge tensor
+    concat(nbr - central, central) and convolves it (dgcnn.py:38-42).  The
+    conv is linear, so with kernel W = [W_n; W_c]:
+
+        conv(edge) = gather(x @ W_n, idx) + (x @ (W_c - W_n))[:, :, None]
+
+    i.e. two tiny (N, 2C)->(N, C1) matmuls on the *points*, one gather on
+    the C1-dim result and a broadcast add — the 2C edge tensor never exists
+    and the per-edge matmul (N*K x 2C x C1, ~40x the FLOPs) disappears.
+    Parameter layout ('conv' Dense with a (2C, C1) kernel + 'bn') is
+    identical to ConvBN, so torch checkpoints convert unchanged.
+    """
+    features: int
+    dtype: Any = None
+    negative_slope: float = 0.2
+
+    @nn.compact
+    def __call__(self, x: Array, idx: Array, train: bool = False) -> Array:
+        conv = nn.Dense(self.features, use_bias=False, dtype=self.dtype,
+                        name="conv")
+        zeros = jnp.zeros_like(x)
+        a = conv(jnp.concatenate([x, zeros], axis=-1))        # x @ W_n
+        b = conv(jnp.concatenate([-x, x], axis=-1))           # x @ (W_c - W_n)
+        e = gather_neighbors(a, idx) + b[:, :, None, :]       # (B, N, K, C1)
+        e = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, use_fast_variance=False,
+                         name="bn")(e)
+        return nn.leaky_relu(e, self.negative_slope)
 
 
 class DGCNN(nn.Module):
