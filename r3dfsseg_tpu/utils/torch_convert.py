@@ -86,13 +86,20 @@ def convert_feature_extractor(
         params["encoder"][f"mlp{j}"] = lp
         stats["encoder"][f"mlp{j}"] = ls
 
-    # BaseLearner: convs.{i}.0=Conv1d(bias), .1=BN (mpti.py:18-40)
+    # BaseLearner: convs.{i}.0=Conv1d(bias), .1=BN (mpti.py:18-40).
+    # Pretrain checkpoints hold only the encoder (checkpoint_util.py:46-50):
+    # the reference merges them partially (strict=False); mirror that by
+    # skipping absent modules.
     for i in range(len(base_widths)):
+        if g(f"base_learner.convs.{i}.0.weight") not in src:
+            continue
         lp, ls = {}, {}
         _convbn(lp, ls, src, g(f"base_learner.convs.{i}.0"),
                 g(f"base_learner.convs.{i}.1"))
         params["base_learner"][f"conv{i}"] = lp
         stats["base_learner"][f"conv{i}"] = ls
+    if not params["base_learner"]:
+        del params["base_learner"], stats["base_learner"]
 
     if use_attention and g("att_learner.q_map.weight") in src:
         params["att_learner"] = {

@@ -1,0 +1,112 @@
+"""Reference-checkpoint interop: a torch .tar saved with the reference's
+exact state_dict layout loads through the converter into the MPTI model."""
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from r3dfsseg_tpu.config import tiny_config  # noqa: E402
+from r3dfsseg_tpu.learners import MPTILearner  # noqa: E402
+from r3dfsseg_tpu.utils.torch_convert import (  # noqa: E402
+    convert_mpti_model, load_torch_checkpoint)
+from tests.test_models_smoke import _episode  # noqa: E402
+
+
+def _reference_style_state_dict(cfg, gen):
+    """Tensors named exactly like MPTI_SelfAtten.state_dict() (mpti.py:45-83)."""
+    sd = {}
+
+    def conv(name, cin, cout, conv2d=False, bias=False):
+        shape = (cout, cin, 1, 1) if conv2d else (cout, cin, 1)
+        sd[f"{name}.weight"] = torch.tensor(
+            gen.normal(size=shape).astype(np.float32) * 0.1)
+        if bias:
+            sd[f"{name}.bias"] = torch.tensor(
+                gen.normal(size=(cout,)).astype(np.float32) * 0.1)
+
+    def bn(name, c):
+        sd[f"{name}.weight"] = torch.tensor(
+            gen.uniform(0.5, 1.5, size=(c,)).astype(np.float32))
+        sd[f"{name}.bias"] = torch.tensor(
+            gen.normal(size=(c,)).astype(np.float32) * 0.1)
+        sd[f"{name}.running_mean"] = torch.tensor(
+            gen.normal(size=(c,)).astype(np.float32) * 0.1)
+        sd[f"{name}.running_var"] = torch.tensor(
+            gen.uniform(0.5, 1.5, size=(c,)).astype(np.float32))
+        sd[f"{name}.num_batches_tracked"] = torch.tensor(0)
+
+    cin = cfg.pc_in_dim
+    for i, widths in enumerate(cfg.edgeconv_widths):
+        win = cin * 2 if i == 0 else cfg.edgeconv_widths[i - 1][-1] * 2
+        for j, w in enumerate(widths):
+            conv(f"encoder.edge_convs.{i}.layer.{3*j}", win, w, conv2d=True)
+            bn(f"encoder.edge_convs.{i}.layer.{3*j+1}", w)
+            win = w
+    win = sum(w[-1] for w in cfg.edgeconv_widths)
+    for j, w in enumerate(cfg.dgcnn_mlp_widths):
+        conv(f"encoder.conv.layer.{3*j}", win, w)
+        bn(f"encoder.conv.layer.{3*j+1}", w)
+        win = w
+    win = cfg.dgcnn_mlp_widths[-1]
+    for i, w in enumerate(cfg.base_widths):
+        conv(f"base_learner.convs.{i}.0", win, w, bias=True)
+        bn(f"base_learner.convs.{i}.1", w)
+        win = w
+    for m in ("q_map", "k_map", "v_map"):
+        conv(f"att_learner.{m}", cfg.dgcnn_mlp_widths[-1], cfg.output_dim)
+    sd["proj.weight"] = torch.tensor(
+        gen.normal(size=(cfg.proj_dim, cfg.feat_dim)).astype(np.float32) * 0.1)
+    sd["proj.bias"] = torch.tensor(
+        gen.normal(size=(cfg.proj_dim,)).astype(np.float32) * 0.1)
+    return sd
+
+
+def test_reference_tar_roundtrip(tmp_path, rng):
+    cfg = tiny_config()
+    sd = _reference_style_state_dict(cfg, rng)
+    tar = str(tmp_path / "checkpoint.tar")
+    torch.save({"iteration": 7, "model_state_dict": sd,
+                "optimizer_state_dict": {}, "loss": 0.5, "IoU": 0.42}, tar)
+
+    flat = load_torch_checkpoint(tar)
+    params, stats = convert_mpti_model(
+        flat, edgeconv_widths=cfg.edgeconv_widths,
+        dgcnn_mlp_widths=cfg.dgcnn_mlp_widths, base_widths=cfg.base_widths,
+        use_attention=True)
+
+    learner = MPTILearner(cfg)
+    ep = _episode(cfg, rng)
+    learner.init(ep)
+    learner.load_params({"features": {k: v for k, v in params["features"].items()},
+                         "proj": params["proj"]},
+                        {"features": stats["features"]})
+    # converted weights actually landed (not the random init)
+    got = np.asarray(
+        learner.state.params["features"]["encoder"]["mlp0"]["conv"]["kernel"])
+    want = flat["encoder.conv.layer.0.weight"].squeeze(-1).T
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    # and the model runs with them
+    pred, loss, acc = learner.test(ep)
+    assert np.isfinite(float(loss))
+
+
+def test_pretrain_tar_encoder_prefix(tmp_path, rng):
+    """Pretrain checkpoints store encoder keys without the 'encoder.' prefix
+    (checkpoint_util.py:46-50); the loader re-adds it (…:16)."""
+    cfg = tiny_config()
+    sd = _reference_style_state_dict(cfg, rng)
+    enc_only = {k[len("encoder."):]: v for k, v in sd.items()
+                if k.startswith("encoder.")}
+    tar = str(tmp_path / "pretrain.tar")
+    torch.save({"params": enc_only}, tar)
+    flat = load_torch_checkpoint(tar)
+    assert any(k.startswith("encoder.") for k in flat)
+    from r3dfsseg_tpu.utils.torch_convert import convert_feature_extractor
+    params, stats = convert_feature_extractor(
+        flat, edgeconv_widths=cfg.edgeconv_widths,
+        dgcnn_mlp_widths=cfg.dgcnn_mlp_widths, base_widths=cfg.base_widths,
+        use_attention=False)
+    assert "encoder" in params and "edgeconv0" in params["encoder"]
