@@ -64,10 +64,22 @@ def train(cfg: R3DConfig):
         logger.cprint("Load encoder module from pretrained checkpoint...")
 
     n_steps = cfg.n_iters // max(cfg.episode_batch, 1)
+    # one independent sampler per worker thread (numpy rng is not
+    # thread-safe); seeds derived from the base seed
+    n_workers = max(1, min(cfg.n_workers, 8))
+    workers = [train_sampler] + [
+        NoisyEpisodeSampler(
+            cfg.clean_data_path, cfg.dataset, cvfold=cfg.cvfold,
+            n_way=cfg.n_way, k_shot=cfg.k_shot, n_queries=cfg.n_queries,
+            mode="train", num_point=cfg.pc_npts, pc_attribs=cfg.pc_attribs,
+            pc_augm=cfg.pc_augm, pc_augm_config=pc_augm_config,
+            noise_ratio=list(cfg.train_noise_ratio), noise_type="train",
+            seed=cfg.seed + 1000 + w)
+        for w in range(n_workers - 1)]
     loader = EpisodeLoader(
-        train_sampler.sample, num_batches=n_steps,
-        episode_batch=cfg.episode_batch,
-        n_workers=1, prefetch=4)
+        workers[0].sample, num_batches=n_steps,
+        episode_batch=cfg.episode_batch, prefetch=4,
+        worker_fns=[s.sample for s in workers])
 
     best_iou = 0.0
     eval_every = max(cfg.eval_interval // max(cfg.episode_batch, 1), 1)

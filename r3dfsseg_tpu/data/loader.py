@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Callable, Iterator, Optional
+from typing import Callable, Iterator, List, Optional
 
 from r3dfsseg_tpu.models.episode import Episode, stack_episodes
 
@@ -18,11 +18,14 @@ from r3dfsseg_tpu.models.episode import Episode, stack_episodes
 class EpisodeLoader:
     def __init__(self, sample_fn: Callable[[], Episode], *,
                  num_batches: int, episode_batch: int = 1,
-                 n_workers: int = 2, prefetch: int = 4):
-        self.sample_fn = sample_fn
+                 n_workers: int = 2, prefetch: int = 4,
+                 worker_fns: Optional[list] = None):
+        """`sample_fn` is used by a single worker; for n_workers > 1 pass
+        `worker_fns` (one independent sampler per worker — numpy Generators
+        are not thread-safe)."""
+        self.worker_fns = worker_fns or [sample_fn]
         self.num_batches = num_batches
         self.episode_batch = episode_batch
-        self.n_workers = max(1, n_workers)
         self.prefetch = prefetch
 
     def __len__(self):
@@ -34,18 +37,18 @@ class EpisodeLoader:
         counter = {"n": 0}
         lock = threading.Lock()
 
-        def worker():
+        def worker(fn):
             while not stop.is_set():
                 with lock:
                     if counter["n"] >= self.num_batches:
                         break
                     counter["n"] += 1
-                eps = [self.sample_fn() for _ in range(self.episode_batch)]
+                eps = [fn() for _ in range(self.episode_batch)]
                 batch = stack_episodes(eps) if self.episode_batch > 1 else eps[0]
                 q.put(batch)
 
-        threads = [threading.Thread(target=worker, daemon=True)
-                   for _ in range(self.n_workers)]
+        threads = [threading.Thread(target=worker, args=(fn,), daemon=True)
+                   for fn in self.worker_fns]
         for t in threads:
             t.start()
         try:
