@@ -40,19 +40,28 @@ def test_few_shot(dataset, learner, logger, test_classes, *, eval_mdns=False,
     counts accumulate vectorised on host (replacing the reference's
     per-point Python loop, eval_noise.py:39-62).
     """
+    from r3dfsseg_tpu.models.episode import stack_episodes
+
     acc = IoUAccumulator(list(test_classes))
     total_loss = 0.0
     n = len(dataset)
+    ebatch = max(1, getattr(learner.cfg, "episode_batch", 1))
     t0 = time.perf_counter()
-    for i in range(n):
-        ep = dataset[i]
-        pred, loss, _ = learner.test(ep, eval_mdns=eval_mdns)
-        total_loss += float(loss)
-        acc.update(np.asarray(pred)[0], np.asarray(ep.query_y),
-                   np.asarray(ep.sampled_classes))
-        if (i + 1) % log_every == 0:
+    done = 0
+    while done < n:
+        eps = [dataset[i] for i in range(done, min(done + ebatch, n))]
+        batch = stack_episodes(eps) if len(eps) > 1 else eps[0]
+        pred, loss, _ = learner.test(batch, eval_mdns=eval_mdns)
+        pred = np.asarray(pred)
+        loss = float(loss)
+        total_loss += loss * len(eps)
+        for j, ep in enumerate(eps):  # pred is (E, Q, N); E==1 for single eps
+            acc.update(pred[j], np.asarray(ep.query_y),
+                       np.asarray(ep.sampled_classes))
+        done += len(eps)
+        if done % max(log_every, 1) < len(eps):
             logger.cprint("[Eval] Iter: %d | Loss: %.4f | %s" % (
-                i + 1, float(loss), str(datetime.now())))
+                done, loss, str(datetime.now())))
     mean_loss = total_loss / max(n, 1)
     iou = acc.iou()
     for c, v in enumerate(iou):

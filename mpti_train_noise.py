@@ -101,6 +101,10 @@ def train(cfg: R3DConfig):
             except Exception:
                 pass
         metrics = learner.train(batch)
+        # ONE device->host transfer for all scalars (each float() is a
+        # separate round-trip through the TPU tunnel)
+        import jax
+        metrics = jax.device_get(metrics)
         it = (step + 1) * cfg.episode_batch
         logger.cprint(
             "==[Train] Iter: %d | Loss: %.4f |  lp_loss: %.4f | "
