@@ -48,10 +48,17 @@ def test_few_shot(dataset, learner, logger, test_classes, *, eval_mdns=False,
     ebatch = max(1, getattr(learner.cfg, "episode_batch", 1))
     t0 = time.perf_counter()
     done = 0
+    mdns_stats: dict = {}
     while done < n:
         eps = [dataset[i] for i in range(done, min(done + ebatch, n))]
         batch = stack_episodes(eps) if len(eps) > 1 else eps[0]
-        pred, loss, _ = learner.test(batch, eval_mdns=eval_mdns)
+        try:
+            pred, loss, _, aux = learner.test(batch, eval_mdns=eval_mdns,
+                                              return_aux=True)
+            for k, v in (aux or {}).items():
+                mdns_stats.setdefault(k, []).append(float(v))
+        except TypeError:   # learners without the aux channel
+            pred, loss, _ = learner.test(batch, eval_mdns=eval_mdns)
         pred = np.asarray(pred)
         loss = float(loss)
         total_loss += loss * len(eps)
@@ -63,6 +70,9 @@ def test_few_shot(dataset, learner, logger, test_classes, *, eval_mdns=False,
             logger.cprint("[Eval] Iter: %d | Loss: %.4f | %s" % (
                 done, loss, str(datetime.now())))
     mean_loss = total_loss / max(n, 1)
+    for k, vals in sorted(mdns_stats.items()):
+        if k.startswith("mdns"):
+            logger.cprint("%s: %.4f" % (k, float(np.mean(vals))))
     iou = acc.iou()
     for c, v in enumerate(iou):
         logger.cprint("----- [class %d]  IoU: %f -----" % (c, v))

@@ -99,7 +99,7 @@ class MPTILearner:
             ep, train=False, eval_mdns=eval_mdns)
         pred = jnp.argmax(out.query_logits, axis=-1)   # (E, Q, N)
         acc = jnp.mean((pred == ep.with_batch_dim().query_y).astype(jnp.float32))
-        return pred, out.lp_loss, acc
+        return pred, out.lp_loss, acc, out.aux
 
     # ------------------------------------------------------------------
     def train(self, ep: Episode) -> Dict[str, Array]:
@@ -108,7 +108,13 @@ class MPTILearner:
         self.state, metrics = self._train_step(self.state, ep, rng)
         return metrics
 
-    def test(self, ep: Episode, *, eval_mdns: bool = False):
+    def test(self, ep: Episode, *, eval_mdns: bool = False,
+             return_aux: bool = False):
         """Predictions + loss + accuracy under running BN stats
-        (mpti_learner.py:84-102)."""
-        return self._eval_step(self.state, ep, eval_mdns=eval_mdns)
+        (mpti_learner.py:84-102).  With return_aux=True also returns the
+        MDNS diagnostics dict (shot/point clean ratios, precision/recall)."""
+        pred, loss, acc, aux = self._eval_step(self.state, ep,
+                                               eval_mdns=eval_mdns)
+        if return_aux:
+            return pred, loss, acc, aux
+        return pred, loss, acc

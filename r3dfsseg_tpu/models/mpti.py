@@ -312,6 +312,15 @@ def _mpti_core(
             gt_flag = (jnp.sum(ep.gt_support_y, -1) > 0).astype(jnp.float32)
             aux["mdns_shot_clean_ratio"] = jnp.sum(clean_flag * gt_flag) / jnp.maximum(
                 jnp.sum(clean_flag), 1.0)
+            # point-level MDNS quality (mpti.py:444-453 / protonet.py:214-242)
+            from r3dfsseg_tpu.utils.diagnostics import (
+                clean_detection_precision_recall, support_mask_accuracy)
+            sm = support_mask_accuracy(fg_used, fg, ep.gt_support_y > 0)
+            aux["mdns_point_clean_ratio"] = sm["clean_ratio"]
+            aux["mdns_size_ratio"] = sm["size_ratio"]
+            p, r = clean_detection_precision_recall(gt_flag, clean_flag)
+            aux["mdns_precision"] = p
+            aux["mdns_recall"] = r
     else:
         fg_used = fg
 
