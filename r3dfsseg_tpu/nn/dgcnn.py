@@ -127,7 +127,8 @@ class _EdgeFirstLayer(nn.Module):
         zeros = jnp.zeros_like(x)
         a = conv(jnp.concatenate([x, zeros], axis=-1))        # x @ W_n
         b = conv(jnp.concatenate([-x, x], axis=-1))           # x @ (W_c - W_n)
-        e = gather_neighbors(a, idx) + b[:, :, None, :]       # (B, N, K, C1)
+        from r3dfsseg_tpu.ops.fast_gather import gather_neighbors_fast
+        e = gather_neighbors_fast(a, idx) + b[:, :, None, :]  # (B, N, K, C1)
         e = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, use_fast_variance=False,
                          name="bn")(e)
