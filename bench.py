@@ -36,8 +36,11 @@ def main():
     from r3dfsseg_tpu.learners import MPTILearner
     from r3dfsseg_tpu.models.episode import stack_episodes
 
+    # the TPU-first design point: bf16 encoder compute (BN + graph math stay
+    # f32), 4 episodes fused per jit step
     ebatch = 4
-    cfg = R3DConfig(episode_batch=ebatch, lp_solver="cg", lp_cg_iters=50)
+    cfg = R3DConfig(episode_batch=ebatch, lp_solver="cg", lp_cg_iters=50,
+                    compute_dtype="bfloat16")
     learner = MPTILearner(cfg)
 
     rng = np.random.default_rng(0)

@@ -9,7 +9,7 @@ device mesh, LP solver, precision) are grouped at the bottom.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 
 @dataclasses.dataclass

@@ -1,7 +1,6 @@
 """ProtoNet learner (`/root/reference/models/proto_learner.py:13-89`)."""
 from __future__ import annotations
 
-import functools
 from typing import Dict, Optional
 
 import jax

@@ -19,7 +19,7 @@ see `r3dfsseg_tpu.utils.torch_convert`.
 """
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp

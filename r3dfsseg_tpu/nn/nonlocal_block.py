@@ -9,7 +9,7 @@ completeness) but fully functional here.
 """
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

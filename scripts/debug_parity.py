@@ -10,7 +10,6 @@ from models.dgcnn import DGCNN as TorchDGCNN
 from models.attention import SelfAttention as TorchSelfAttention
 
 import jax, jax.numpy as jnp
-from r3dfsseg_tpu.nn import FeatureExtractor
 from r3dfsseg_tpu.nn.dgcnn import DGCNN as FlaxDGCNN, SelfAttention as FlaxAtt, BaseLearner as FlaxBase
 from r3dfsseg_tpu.utils.torch_convert import convert_feature_extractor
 

@@ -2,11 +2,9 @@
 catalog, no-attention (linear mapper) path, euclidean similarity."""
 import numpy as np
 import jax
-import jax.numpy as jnp
 import pytest
 
 from r3dfsseg_tpu.config import tiny_config
-from r3dfsseg_tpu.models.episode import Episode
 from r3dfsseg_tpu.models.mpti import MPTINet
 from r3dfsseg_tpu.models.protonet import ProtoNet
 from tests.test_models_smoke import _episode

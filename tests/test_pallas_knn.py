@@ -2,15 +2,12 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
-
 from r3dfsseg_tpu.ops.knn import knn_indices
 
 
 def _pallas_interpret(x, k, tile_n):
     import functools
     from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
     from r3dfsseg_tpu.ops import pallas_knn as pk
 
     b, n, c = x.shape

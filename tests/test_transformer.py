@@ -2,8 +2,6 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
-
 from r3dfsseg_tpu.config import tiny_config
 from r3dfsseg_tpu.models.transformer import ProtoNetTransformer, gen_prototypes
 from tests.test_models_smoke import _episode
