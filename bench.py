@@ -39,7 +39,7 @@ def main():
     # the TPU-first design point: bf16 encoder compute (BN + graph math stay
     # f32), 4 episodes fused per jit step
     ebatch = 4
-    cfg = R3DConfig(episode_batch=ebatch, lp_solver="cg", lp_cg_iters=50,
+    cfg = R3DConfig(episode_batch=ebatch, lp_solver="cg", lp_cg_iters=30,
                     compute_dtype="bfloat16")
     learner = MPTILearner(cfg)
 

@@ -86,7 +86,7 @@ def build_parser(eval_mode: bool = False) -> argparse.ArgumentParser:
                    help="episodes fused into one jit step")
     p.add_argument("--lp_solver", default="cg",
                    choices=["cg", "cheby", "solve"])
-    p.add_argument("--lp_cg_iters", type=int, default=50)
+    p.add_argument("--lp_cg_iters", type=int, default=30)
     p.add_argument("--knn_impl", default="auto",
                    choices=["auto", "pallas", "xla", "approx"])
     p.add_argument("--affinity_impl", default="threshold",
