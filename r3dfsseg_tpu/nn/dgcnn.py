@@ -47,13 +47,14 @@ class ConvBN(nn.Module):
     def __call__(self, x: Array, train: bool = False) -> Array:
         x = nn.Dense(self.features, use_bias=self.use_bias, dtype=self.dtype,
                      name="conv")(x)
-        # use_fast_variance=False: the E[x^2]-E[x]^2 shortcut cancels
-        # catastrophically in f32 on edge features whose mean >> std,
-        # drifting ~2e-2 per block from the torch two-pass variance.
+        # Two-pass variance in f32 mode: the E[x^2]-E[x]^2 shortcut cancels
+        # catastrophically on edge features whose mean >> std (~2e-2 drift
+        # per block vs torch).  In bf16 mode numerics are already relaxed,
+        # so the single-pass form saves one full-tensor reduction per BN.
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9, epsilon=1e-5, name="bn",
-            use_fast_variance=False,
+            use_fast_variance=self.dtype is not None,
         )(x)
         if self.relu:
             x = nn.leaky_relu(x, self.negative_slope)
@@ -130,7 +131,8 @@ class _EdgeFirstLayer(nn.Module):
         from r3dfsseg_tpu.ops.fast_gather import gather_neighbors_fast
         e = gather_neighbors_fast(a, idx) + b[:, :, None, :]  # (B, N, K, C1)
         e = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, use_fast_variance=False,
+                         epsilon=1e-5,
+                         use_fast_variance=self.dtype is not None,
                          name="bn")(e)
         return nn.leaky_relu(e, self.negative_slope)
 
