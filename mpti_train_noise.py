@@ -119,8 +119,10 @@ def train(cfg: R3DConfig):
                   "query_acc_LP", "query_acc_original"):
             if k in metrics:
                 writer.add_scalar(f"Train/{k}", metrics[k], it)
+        if step == 0:
+            t_start = _time.perf_counter()   # exclude jit compile of step 1
         if (step + 1) % 100 == 0:
-            eps_s = it / (_time.perf_counter() - t_start)
+            eps_s = (it - cfg.episode_batch) / (_time.perf_counter() - t_start)
             writer.add_scalar("Train/episodes_per_sec", eps_s, it)
             logger.cprint("== throughput: %.2f episodes/s ==" % eps_s)
 

@@ -192,6 +192,7 @@ class SelfAttention(nn.Module):
     out_channel: int
     attn_dropout: float = 0.1
     dtype: Any = None
+    attn_impl: str = "auto"    # auto | pallas | xla
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -199,6 +200,26 @@ class SelfAttention(nn.Module):
         q = nn.Dense(d, use_bias=False, dtype=self.dtype, name="q_map")(x)
         k = nn.Dense(d, use_bias=False, dtype=self.dtype, name="k_map")(x)
         v = nn.Dense(d, use_bias=False, dtype=self.dtype, name="v_map")(x)
+
+        impl = self.attn_impl
+        if impl == "auto":
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if impl == "pallas":
+            # fused VMEM-resident attention (ops/pallas_attention.py); the
+            # dropout mask regenerates from an int32 seed in fwd and bwd
+            from r3dfsseg_tpu.ops.pallas_attention import fused_attention
+            if train and self.attn_dropout > 0.0:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (), 0, 2**31 - 1,
+                    dtype=jnp.int32)
+            else:
+                seed = jnp.int32(0)
+            y = fused_attention(
+                q.astype(jnp.float32), k.astype(jnp.float32),
+                v.astype(jnp.float32), seed, float(d) ** 0.5,
+                self.attn_dropout, train)
+            return y.astype(x.dtype)
+
         attn = jnp.einsum("bnd,bmd->bnm", q / jnp.sqrt(d).astype(q.dtype), k,
                           preferred_element_type=jnp.float32)
         attn = jax.nn.softmax(attn, axis=-1)
