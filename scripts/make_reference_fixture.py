@@ -170,12 +170,14 @@ def main():
     install_stubs()
     sys.path.insert(0, "/root/reference")
     from models.mpti import MPTI_SelfAtten  # noqa: E402
+    from models.protonet import ProtoNet as RefProtoNet  # noqa: E402
 
     args = SimpleNamespace(
         n_way=2, k_shot=3, pc_in_dim=9, pc_npts=64, use_attention=True,
         n_subprototypes=8, k_connect=8, sigma=1.0,
         edgeconv_widths=[[8, 8], [8, 8], [8, 8]], dgcnn_mlp_widths=[16, 16],
-        base_widths=[8, 8], output_dim=8, dgcnn_k=4, shot_seed=1)
+        base_widths=[8, 8], output_dim=8, dgcnn_k=4, shot_seed=1,
+        dist_method="cosine")
 
     torch.manual_seed(31337)
     model = MPTI_SelfAtten(args)
@@ -250,6 +252,23 @@ def main():
         out[f"{name}/train/logits"] = pred.numpy()
         out[f"{name}/train/lp_loss"] = np.float32(lp.item())
         out[f"{name}/train/contrast_loss"] = np.float32(contrast.item())
+
+    # --- ProtoNet baseline parity (protonet.py:245-275), reusing the same
+    # feature-extractor weights and the f0 episode ---
+    enc_sd = {k: v for k, v in sd.items() if not k.startswith("proj.")}
+    t = {k: torch.tensor(v) for k, v in fixtures["f0"].items()}
+    for dist in ("cosine", "euclidean"):
+        args.dist_method = dist
+        for mode in ("eval", "train"):
+            pm = RefProtoNet(args)
+            pm.load_state_dict(enc_sd, strict=True)
+            zero_dropout(pm)
+            pm.train() if mode == "train" else pm.eval()
+            with torch.no_grad():
+                pred, loss = pm.forward(t["support_x"], t["support_y"],
+                                        t["query_x"], t["query_y"])
+            out[f"proto/{dist}/{mode}/logits"] = pred.numpy()
+            out[f"proto/{dist}/{mode}/loss"] = np.float32(loss.item())
 
     # the TPU build pads to fixed k slots; assert the reference's float-ceil
     # count rule produced exactly k for every ratio<1 call in these episodes

@@ -132,6 +132,34 @@ def test_eval_logits_and_loss_match(golden, name, mode):
                                atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.parametrize("dist", ["cosine", "euclidean"])
+@pytest.mark.parametrize("mode", ["eval", "train"])
+def test_protonet_matches_reference(golden, dist, mode):
+    """Plain ProtoNet baseline vs reference forward (protonet.py:245-275),
+    same feature-extractor weights, cosine and euclidean similarity."""
+    from r3dfsseg_tpu.models.protonet import ProtoNet
+
+    data, meta, cfg, learner, eps = golden
+    pcfg = cfg.replace(dist_method=dist)
+    model = ProtoNet(pcfg, with_contrast=False)
+    variables = {
+        "params": {"features": learner.state.params["features"]},
+        "batch_stats": {"features": learner.state.batch_stats["features"]},
+    }
+    kw = {}
+    if mode == "train":
+        kw = dict(mutable=["batch_stats"], rngs={"dropout": jax.random.PRNGKey(0)})
+    out = model.apply(variables, eps["f0"], train=(mode == "train"), **kw)
+    if mode == "train":
+        out = out[0]
+    got = np.asarray(out.query_logits[0])                 # (q, N, cls)
+    want = data[f"proto/{dist}/{mode}/logits"].transpose(0, 2, 1)
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)
+    np.testing.assert_allclose(float(out.loss),
+                               float(data[f"proto/{dist}/{mode}/loss"]),
+                               atol=1e-4, rtol=1e-4)
+
+
 @pytest.mark.parametrize("name", ["f0", "f1"])
 def test_train_logits_losses_match(golden, name):
     data, meta, cfg, learner, eps = golden
