@@ -33,13 +33,19 @@ def make_learner(cfg: R3DConfig, mode: str):
 
 
 def test_few_shot(dataset, learner, logger, test_classes, *, eval_mdns=False,
-                  log_every=50):
+                  log_every=50, save_record=None):
     """Evaluate every cached episode (eval_noise.py:75-113).
 
     Episodes stream through a single jitted eval step; the IoU confusion
     counts accumulate vectorised on host (replacing the reference's
-    per-point Python loop, eval_noise.py:39-62).
+    per-point Python loop, eval_noise.py:39-62).  Episode h5 reads are
+    prefetched on a background thread so the host IO overlaps device
+    compute.  With `save_record` set, per-episode predictions/labels/
+    sampled classes are dumped to `<save_record>.npz` (the reference builds
+    this path at eval_noise.py:148-153 and threads it to the model, which
+    never writes it — here the record is actually produced).
     """
+    from r3dfsseg_tpu.data.loader import prefetch_iter
     from r3dfsseg_tpu.models.episode import stack_episodes
 
     acc = IoUAccumulator(list(test_classes))
@@ -49,8 +55,13 @@ def test_few_shot(dataset, learner, logger, test_classes, *, eval_mdns=False,
     t0 = time.perf_counter()
     done = 0
     mdns_stats: dict = {}
-    while done < n:
-        eps = [dataset[i] for i in range(done, min(done + ebatch, n))]
+    record = {"pred": [], "label": [], "classes": []} if save_record else None
+
+    def batches():
+        for start in range(0, n, ebatch):
+            yield [dataset[i] for i in range(start, min(start + ebatch, n))]
+
+    for eps in prefetch_iter(batches(), prefetch=4):
         batch = stack_episodes(eps) if len(eps) > 1 else eps[0]
         try:
             pred, loss, _, aux = learner.test(batch, eval_mdns=eval_mdns,
@@ -65,6 +76,10 @@ def test_few_shot(dataset, learner, logger, test_classes, *, eval_mdns=False,
         for j, ep in enumerate(eps):  # pred is (E, Q, N); E==1 for single eps
             acc.update(pred[j], np.asarray(ep.query_y),
                        np.asarray(ep.sampled_classes))
+            if record is not None:
+                record["pred"].append(pred[j])
+                record["label"].append(np.asarray(ep.query_y))
+                record["classes"].append(np.asarray(ep.sampled_classes))
         done += len(eps)
         if done % max(log_every, 1) < len(eps):
             logger.cprint("[Eval] Iter: %d | Loss: %.4f | %s" % (
@@ -77,6 +92,12 @@ def test_few_shot(dataset, learner, logger, test_classes, *, eval_mdns=False,
     for c, v in enumerate(iou):
         logger.cprint("----- [class %d]  IoU: %f -----" % (c, v))
     mean_iou = acc.mean_iou()
+    if record is not None:
+        np.savez(save_record,
+                 pred=np.stack(record["pred"]),
+                 label=np.stack(record["label"]),
+                 classes=np.stack(record["classes"]))
+        logger.cprint("saved test record to %s.npz" % save_record)
     dt = time.perf_counter() - t0
     logger.cprint("eval throughput: %.2f episodes/s" % (n / max(dt, 1e-9)))
     return mean_loss, mean_iou
@@ -127,8 +148,23 @@ def evaluate(cfg: R3DConfig):
                 "Model checkpoint file must be correctly given (%s)."
                 % cfg.model_checkpoint_path)
 
+    import jax
+    n_dev = cfg.mesh_shape[0] if cfg.mesh_shape else len(jax.devices())
+    if n_dev > 1 and cfg.episode_batch % n_dev == 0:
+        from r3dfsseg_tpu.parallel import make_mesh
+        learner.attach_mesh(make_mesh(n_dev))
+        logger.cprint("episode-DP eval over %d devices" % n_dev)
+
+    record_path = None
+    if cfg.save_test_record:
+        # reference path layout: '{noise_type}_{ratio:.3f}_test_record'
+        # under model_checkpoint_path (eval_noise.py:148-151)
+        record_path = os.path.join(
+            cfg.model_checkpoint_path or cfg.log_dir,
+            "%s_%.3f_test_record" % (cfg.noise_type, cfg.noise_ratio))
     test_loss, mean_iou = test_few_shot(
-        dataset, learner, logger, list(dataset.classes), eval_mdns=True)
+        dataset, learner, logger, list(dataset.classes), eval_mdns=True,
+        save_record=record_path)
     logger.cprint("\n=====[TEST] Loss: %.4f | Mean IoU: %f =====\n"
                   % (test_loss, mean_iou))
     return mean_iou

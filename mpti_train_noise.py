@@ -59,9 +59,27 @@ def train(cfg: R3DConfig):
         logger.cprint("Resume from checkpoint at Iteration %d (IoU %f)..."
                       % (blob["iteration"], blob["IoU"]))
     elif cfg.pretrain_checkpoint_path:
-        params, stats = load_pretrain_checkpoint(cfg.pretrain_checkpoint_path)
+        params, stats = load_pretrain_checkpoint(
+            cfg.pretrain_checkpoint_path, cfg)
         learner.load_params(params, stats, encoder_only=True)
         logger.cprint("Load encoder module from pretrained checkpoint...")
+
+    # episode-DP: shard the per-step episode batch over a device mesh when
+    # --mesh is given or more than one device is visible (SURVEY §2c: this
+    # is the rebuild's new capability — the reference is single-GPU batch-1)
+    import jax
+    n_dev = cfg.mesh_shape[0] if cfg.mesh_shape else len(jax.devices())
+    if n_dev > 1:
+        if cfg.episode_batch % n_dev == 0:
+            from r3dfsseg_tpu.parallel import make_mesh
+            learner.attach_mesh(make_mesh(n_dev))
+            logger.cprint(
+                "episode-DP: %d-episode batches sharded over %d devices"
+                % (cfg.episode_batch, n_dev))
+        elif cfg.mesh_shape:
+            logger.cprint(
+                "WARNING: --mesh %d ignored (episode_batch %d not divisible)"
+                % (n_dev, cfg.episode_batch))
 
     n_steps = cfg.n_iters // max(cfg.episode_batch, 1)
     # one independent sampler per worker thread (numpy rng is not
@@ -106,14 +124,19 @@ def train(cfg: R3DConfig):
         import jax
         metrics = jax.device_get(metrics)
         it = (step + 1) * cfg.episode_batch
+        # learners expose different loss decompositions (ProtoLearner has no
+        # lp_loss; TransformerLearner adds clean_proto_loss) — log what each
+        # provides, defaulting missing parts sensibly
+        lp = metrics.get("lp_loss", metrics["loss"])
+        contrast = metrics.get("contrast_loss", 0.0)
         logger.cprint(
             "==[Train] Iter: %d | Loss: %.4f |  lp_loss: %.4f | "
             "contrast_loss: %.4f | Accuracy: %f  ==" % (
-                it, float(metrics["loss"]), float(metrics["lp_loss"]),
-                float(metrics["contrast_loss"]), float(metrics["accuracy"])))
+                it, float(metrics["loss"]), float(lp),
+                float(contrast), float(metrics["accuracy"])))
         writer.add_scalar("Train/loss", metrics["loss"], it)
-        writer.add_scalar("Train/lp_loss", metrics["lp_loss"], it)
-        writer.add_scalar("Train/edge_loss", metrics["contrast_loss"], it)
+        writer.add_scalar("Train/lp_loss", lp, it)
+        writer.add_scalar("Train/edge_loss", contrast, it)
         writer.add_scalar("Train/accuracy", metrics["accuracy"], it)
         for k in ("clean_ratio_LP", "clean_ratio_original",
                   "query_acc_LP", "query_acc_original"):
@@ -148,4 +171,11 @@ if __name__ == "__main__":
     args = build_parser(eval_mode=False).parse_args()
     cfg = args_to_config(args, eval_mode=False)
     np.random.seed(cfg.seed)
-    train(cfg)
+    if cfg.phase in ("pretrain", "finetune"):
+        # encoder (re-)pretraining; finetune resumes from
+        # --pretrain_checkpoint_path (the reference defers both to the
+        # external attMPTI repo, README.md:43-44)
+        from pretrain import pretrain
+        pretrain(cfg)
+    else:
+        train(cfg)

@@ -33,7 +33,8 @@ def pretrain(cfg: R3DConfig, *, batch_size: int = 16, lr: float = 0.001,
     from r3dfsseg_tpu.nn import DGCNNSegAttention
     from r3dfsseg_tpu.utils.checkpoint import save_pretrain_checkpoint
 
-    logger = init_logger(cfg.log_dir, cfg, phase="pretrain")
+    phase = cfg.phase if cfg.phase in ("pretrain", "finetune") else "pretrain"
+    logger = init_logger(cfg.log_dir, cfg, phase=phase)
     writer = ScalarWriter(cfg.log_dir)
     catalog = get_catalog(cfg.dataset, cfg.cvfold, cfg.clean_data_path)
     train_classes = list(catalog.train_classes)
@@ -71,6 +72,19 @@ def pretrain(cfg: R3DConfig, *, batch_size: int = 16, lr: float = 0.001,
     variables = model.init({"params": jrng, "dropout": jrng},
                            jnp.asarray(x0), train=False)
     params, batch_stats = variables["params"], variables["batch_stats"]
+    if cfg.pretrain_checkpoint_path:   # finetune: resume the encoder trunk
+        from r3dfsseg_tpu.utils.checkpoint import load_pretrain_checkpoint
+        p0, s0 = load_pretrain_checkpoint(cfg.pretrain_checkpoint_path, cfg)
+        params = dict(params)
+        batch_stats = dict(batch_stats)
+        params["encoder"] = jax.tree.map(
+            lambda a, b: jnp.asarray(b).astype(a.dtype).reshape(a.shape),
+            params["encoder"], p0["features"]["encoder"])
+        batch_stats["encoder"] = jax.tree.map(
+            lambda a, b: jnp.asarray(b).astype(a.dtype).reshape(a.shape),
+            batch_stats["encoder"], s0["features"]["encoder"])
+        logger.cprint("finetune: loaded encoder from %s"
+                      % cfg.pretrain_checkpoint_path)
     tx = optax.adam(lr)
     opt_state = tx.init(params)
 

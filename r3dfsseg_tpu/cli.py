@@ -19,7 +19,8 @@ def build_parser(eval_mode: bool = False) -> argparse.ArgumentParser:
     p = argparse.ArgumentParser()
     # data
     choices = ["pretrain", "finetune", "prototrain", "protoeval",
-               "mptitrain", "mptieval", "mptinoise_eval", "transformereval"]
+               "mptitrain", "mptieval", "mptinoise_eval",
+               "transformertrain", "transformereval"]
     p.add_argument("--phase", type=str,
                    default="mptinoise_eval" if eval_mode else "mptitrain",
                    choices=choices)
@@ -76,14 +77,19 @@ def build_parser(eval_mode: bool = False) -> argparse.ArgumentParser:
         p.add_argument("--noise_type", default="sym", type=str)
         p.add_argument("--save_test_record", dest="save_test_record",
                        action="store_true")
-        # transformer baseline config (eval_noise.py:229-233)
-        p.add_argument("--d_model", type=int, default=192)
-        p.add_argument("--n_head", type=int, default=4)
-        p.add_argument("--d_feed", type=int, default=128)
-        p.add_argument("--n_layers", type=int, default=1)
+    # transformer baseline config.  Defaults are the reference's *effective*
+    # architecture: its CLI parses 192/4/1/128 (eval_noise.py:229-233) but
+    # the model hard-codes 128/8/3/128 (models/protonet.py:1141-1147).
+    p.add_argument("--d_model", type=int, default=128)
+    p.add_argument("--n_head", type=int, default=8)
+    p.add_argument("--d_feed", type=int, default=128)
+    p.add_argument("--n_layers", type=int, default=3)
     # ---- TPU-only ----
     p.add_argument("--episode_batch", type=int, default=1,
                    help="episodes fused into one jit step")
+    p.add_argument("--mesh", type=int, default=0,
+                   help="episode-DP over N devices (0 = auto: use all "
+                        "devices when episode_batch divides evenly)")
     p.add_argument("--lp_solver", default="cg",
                    choices=["cg", "cheby", "solve"])
     p.add_argument("--lp_cg_iters", type=int, default=30)
@@ -129,7 +135,11 @@ def args_to_config(args: argparse.Namespace, eval_mode: bool = False) -> R3DConf
         train_noise_ratio=tuple(ast.literal_eval(args.train_noise_ratio)),
         noise_ratio=getattr(args, "noise_ratio", 0.0),
         noise_type=getattr(args, "noise_type", "sym"),
+        save_test_record=getattr(args, "save_test_record", False),
+        d_model=args.d_model, n_head=args.n_head,
+        n_layers=args.n_layers, d_feed=args.d_feed,
         shot_seed=args.shot_seed, seed=args.seed,
+        mesh_shape=(args.mesh,) if getattr(args, "mesh", 0) > 0 else None,
         episode_batch=args.episode_batch, lp_solver=args.lp_solver,
         lp_cg_iters=args.lp_cg_iters, knn_impl=args.knn_impl,
         affinity_impl=args.affinity_impl,

@@ -71,13 +71,27 @@ class R3DConfig:
     contrast_temp: float = 0.1
     proj_dim: int = 128                    # WayContrast projection head (mpti.py:83)
     mdns_scales: Tuple[Tuple[int, int, int], ...] = ((1, 1, 1), (2, 2, 1))
+    # parsed for flag parity; dead in the reference too — its only consumer
+    # is a commented-out call (models/mpti.py:78,441)
     shot_seed: int = 1
+
+    # Transformer baseline architecture.  NOTE: the reference CLI parses
+    # --d_model/--n_head/--n_layers/--d_feed with defaults 192/4/1/128
+    # (eval_noise.py:229-233) but `ProtoNet_transformer` ignores them and
+    # hard-codes 128/8/3/128 (models/protonet.py:1141-1147).  We honour the
+    # flags, with defaults set to the *effective* reference architecture so
+    # converted reference checkpoints line up out of the box.
+    d_model: int = 128
+    n_head: int = 8
+    n_layers: int = 3
+    d_feed: int = 128
 
     # ---------------------------------------------------------------- noise
     noise_ratio: float = 0.0
     noise_type: str = "sym"                # sym | ood | partial | train
     train_noise_ratio: Sequence[float] = (0.2,)
     ReturnCluster: bool = False
+    save_test_record: bool = False         # dump per-episode preds at eval
 
     # ----------------------------------------------------------------- misc
     seed: int = 123
@@ -89,6 +103,8 @@ class R3DConfig:
     knn_impl: str = "auto"                 # auto | pallas | xla | approx
     affinity_impl: str = "threshold"       # threshold (fast) | topk (tie parity)
     compute_dtype: str = "float32"         # float32 | bfloat16 (encoder matmuls)
+    exact_grad_gather: bool = False        # exact (slower) EdgeConv gather bwd
+                                           # instead of the bf16 Pallas scatter
     mesh_shape: Optional[Tuple[int, ...]] = None   # None => single chip
     profile_dir: Optional[str] = None      # jax.profiler trace output
 

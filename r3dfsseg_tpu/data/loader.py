@@ -5,21 +5,66 @@ The reference leans on torch DataLoader worker processes
 host-side episode assembly (numpy, releases the GIL in np.load/shuffle)
 with device compute, and stacks `episode_batch` episodes into one batched
 Episode so the device executes one fused step per batch.
+
+Two scheduling modes:
+  * ordered=True (default): batch i is always produced by worker
+    i % n_workers, and batches are yielded strictly in index order.  With
+    per-worker seeded samplers a run is bit-reproducible regardless of
+    thread scheduling.
+  * ordered=False: workers race for batch slots and the queue order depends
+    on thread timing — marginally better tail latency, not reproducible.
+
+Worker exceptions (e.g. a sampler ValueError when a class has too few
+scans) propagate to the consuming iterator instead of hanging it.
 """
 from __future__ import annotations
 
+import heapq
 import queue
 import threading
-from typing import Callable, Iterator, List, Optional
+from typing import Callable, Iterator, Optional
 
 from r3dfsseg_tpu.models.episode import Episode, stack_episodes
+
+
+class _WorkerError:
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
+def prefetch_iter(it, prefetch: int = 4):
+    """Run an iterator on a background thread, keeping up to `prefetch`
+    items ready.  Order-preserving; exceptions re-raise at the consumer.
+    Used by the eval path so h5 episode reads overlap device compute
+    (the reference reads serially inline, eval_noise.py:85)."""
+    q: "queue.Queue" = queue.Queue(maxsize=max(prefetch, 1))
+    _end = object()
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+        except BaseException as e:
+            q.put(_WorkerError(e))
+        q.put(_end)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _end:
+            return
+        if isinstance(item, _WorkerError):
+            raise item.exc
+        yield item
 
 
 class EpisodeLoader:
     def __init__(self, sample_fn: Callable[[], Episode], *,
                  num_batches: int, episode_batch: int = 1,
                  n_workers: int = 2, prefetch: int = 4,
-                 worker_fns: Optional[list] = None):
+                 worker_fns: Optional[list] = None,
+                 ordered: bool = True):
         """`sample_fn` is used by a single worker; for n_workers > 1 pass
         `worker_fns` (one independent sampler per worker — numpy Generators
         are not thread-safe)."""
@@ -27,33 +72,65 @@ class EpisodeLoader:
         self.num_batches = num_batches
         self.episode_batch = episode_batch
         self.prefetch = prefetch
+        self.ordered = ordered
 
     def __len__(self):
         return self.num_batches
 
+    def _make_batch(self, fn):
+        eps = [fn() for _ in range(self.episode_batch)]
+        return stack_episodes(eps) if self.episode_batch > 1 else eps[0]
+
     def __iter__(self) -> Iterator[Episode]:
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        q: "queue.Queue" = queue.Queue(maxsize=max(self.prefetch, 1))
         stop = threading.Event()
-        counter = {"n": 0}
-        lock = threading.Lock()
+        n_workers = len(self.worker_fns)
 
-        def worker(fn):
-            while not stop.is_set():
-                with lock:
-                    if counter["n"] >= self.num_batches:
-                        break
-                    counter["n"] += 1
-                eps = [fn() for _ in range(self.episode_batch)]
-                batch = stack_episodes(eps) if self.episode_batch > 1 else eps[0]
-                q.put(batch)
+        if self.ordered:
+            def worker(w, fn):
+                for i in range(w, self.num_batches, n_workers):
+                    if stop.is_set():
+                        return
+                    try:
+                        item = (i, self._make_batch(fn))
+                    except BaseException as e:  # propagate to consumer
+                        item = (i, _WorkerError(e))
+                    q.put(item)
+        else:
+            counter = {"n": 0}
+            lock = threading.Lock()
 
-        threads = [threading.Thread(target=worker, args=(fn,), daemon=True)
-                   for fn in self.worker_fns]
+            def worker(w, fn):
+                while not stop.is_set():
+                    with lock:
+                        if counter["n"] >= self.num_batches:
+                            return
+                        i = counter["n"]
+                        counter["n"] += 1
+                    try:
+                        item = (i, self._make_batch(fn))
+                    except BaseException as e:
+                        item = (i, _WorkerError(e))
+                    q.put(item)
+
+        threads = [threading.Thread(target=worker, args=(w, fn), daemon=True)
+                   for w, fn in enumerate(self.worker_fns)]
         for t in threads:
             t.start()
+        pending: list = []   # (index, batch) heap for in-order release
+        next_idx = 0
         try:
-            for _ in range(self.num_batches):
-                yield q.get()
+            while next_idx < self.num_batches:
+                if self.ordered:
+                    while not (pending and pending[0][0] == next_idx):
+                        heapq.heappush(pending, q.get())
+                    _, batch = heapq.heappop(pending)
+                else:
+                    _, batch = q.get()
+                if isinstance(batch, _WorkerError):
+                    raise batch.exc
+                next_idx += 1
+                yield batch
         finally:
             stop.set()
             # drain so workers blocked on put() can exit

@@ -28,6 +28,32 @@ class TrainState(NamedTuple):
     opt_state: Any
 
 
+class MeshedLearner:
+    """Episode-data-parallel mixin: replicate state over a 1-D 'data' mesh
+    and shard incoming episode batches on their leading axis.  XLA/GSPMD
+    propagates the shardings through the jitted step and inserts the
+    gradient all-reduce over ICI (no hand-written collectives)."""
+
+    mesh = None
+
+    def attach_mesh(self, mesh) -> None:
+        from r3dfsseg_tpu.parallel import replicate
+        self.mesh = mesh
+        if getattr(self, "state", None) is not None:
+            self.state = replicate(self.state, mesh)
+
+    def _maybe_shard(self, ep):
+        """Shard a batched episode over the mesh; pass through when no mesh
+        is attached or the batch doesn't divide the mesh (e.g. a ragged
+        final eval batch)."""
+        if self.mesh is None or not getattr(ep, "batched", False):
+            return ep
+        if ep.support_x.shape[0] % self.mesh.devices.size:
+            return ep
+        from r3dfsseg_tpu.parallel import shard_episode
+        return shard_episode(ep, self.mesh)
+
+
 def _param_labels(params) -> Any:
     """'encoder' for the pretrained DGCNN trunk, 'rest' for everything else
     (mpti_learner.py:27-32)."""
@@ -39,9 +65,15 @@ def _param_labels(params) -> Any:
 
 
 def make_optimizer(cfg: R3DConfig) -> optax.GradientTransformation:
+    # step_size counts *episodes* (the reference steps StepLR once per
+    # episode, mpti_train_noise.py:72).  One optimizer step here consumes
+    # episode_batch episodes, so the schedule is scaled to keep the decay
+    # points aligned in episode terms.
+    transition = max(cfg.step_size // max(cfg.episode_batch, 1), 1)
+
     def sched(base_lr):
         return optax.exponential_decay(
-            init_value=base_lr, transition_steps=cfg.step_size,
+            init_value=base_lr, transition_steps=transition,
             decay_rate=cfg.gamma, staircase=True)
 
     return optax.multi_transform(

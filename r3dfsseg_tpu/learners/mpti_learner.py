@@ -15,14 +15,15 @@ import jax
 import jax.numpy as jnp
 
 from r3dfsseg_tpu.config import R3DConfig
-from r3dfsseg_tpu.learners.base import TrainState, create_train_state, make_optimizer
+from r3dfsseg_tpu.learners.base import (MeshedLearner, TrainState,
+                                         create_train_state, make_optimizer)
 from r3dfsseg_tpu.models.episode import Episode
 from r3dfsseg_tpu.models.mpti import MPTINet
 
 Array = jax.Array
 
 
-class MPTILearner:
+class MPTILearner(MeshedLearner):
     def __init__(self, cfg: R3DConfig, rng: Optional[jax.Array] = None):
         self.cfg = cfg
         self.model = MPTINet(cfg)
@@ -105,7 +106,8 @@ class MPTILearner:
     def train(self, ep: Episode) -> Dict[str, Array]:
         """One optimizer step on an episode (batch). Returns metrics."""
         self._rng, rng = jax.random.split(self._rng)
-        self.state, metrics = self._train_step(self.state, ep, rng)
+        self.state, metrics = self._train_step(self.state,
+                                               self._maybe_shard(ep), rng)
         return metrics
 
     def test(self, ep: Episode, *, eval_mdns: bool = False,
@@ -113,7 +115,8 @@ class MPTILearner:
         """Predictions + loss + accuracy under running BN stats
         (mpti_learner.py:84-102).  With return_aux=True also returns the
         MDNS diagnostics dict (shot/point clean ratios, precision/recall)."""
-        pred, loss, acc, aux = self._eval_step(self.state, ep,
+        pred, loss, acc, aux = self._eval_step(self.state,
+                                               self._maybe_shard(ep),
                                                eval_mdns=eval_mdns)
         if return_aux:
             return pred, loss, acc, aux

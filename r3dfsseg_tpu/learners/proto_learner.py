@@ -7,14 +7,15 @@ import jax
 import jax.numpy as jnp
 
 from r3dfsseg_tpu.config import R3DConfig
-from r3dfsseg_tpu.learners.base import TrainState, create_train_state, make_optimizer
+from r3dfsseg_tpu.learners.base import (MeshedLearner, TrainState,
+                                         create_train_state, make_optimizer)
 from r3dfsseg_tpu.models.episode import Episode
 from r3dfsseg_tpu.models.protonet import ProtoNet
 
 Array = jax.Array
 
 
-class ProtoLearner:
+class ProtoLearner(MeshedLearner):
     def __init__(self, cfg: R3DConfig, rng: Optional[jax.Array] = None,
                  with_contrast: bool = False):
         self.cfg = cfg
@@ -67,8 +68,10 @@ class ProtoLearner:
 
     def train(self, ep: Episode) -> Dict[str, Array]:
         self._rng, rng = jax.random.split(self._rng)
-        self.state, metrics = self._train_step(self.state, ep, rng)
+        self.state, metrics = self._train_step(self.state,
+                                               self._maybe_shard(ep), rng)
         return metrics
 
     def test(self, ep: Episode, *, eval_mdns: bool = False):
-        return self._eval_step(self.state, ep, eval_mdns=eval_mdns)
+        return self._eval_step(self.state, self._maybe_shard(ep),
+                               eval_mdns=eval_mdns)

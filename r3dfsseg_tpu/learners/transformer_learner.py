@@ -9,17 +9,24 @@ import jax
 import jax.numpy as jnp
 
 from r3dfsseg_tpu.config import R3DConfig
-from r3dfsseg_tpu.learners.base import TrainState, create_train_state, make_optimizer
+from r3dfsseg_tpu.learners.base import (MeshedLearner, TrainState,
+                                         create_train_state, make_optimizer)
 from r3dfsseg_tpu.models.episode import Episode
 from r3dfsseg_tpu.models.transformer import ProtoNetTransformer
 
 
-class TransformerLearner:
+class TransformerLearner(MeshedLearner):
     def __init__(self, cfg: R3DConfig, rng: Optional[jax.Array] = None,
-                 d_model: int = 128, n_layers: int = 3, n_head: int = 8):
+                 d_model: Optional[int] = None, n_layers: Optional[int] = None,
+                 n_head: Optional[int] = None, d_feed: Optional[int] = None):
         self.cfg = cfg
+        # architecture comes from the config (--d_model/--n_head/--n_layers/
+        # --d_feed); explicit kwargs override for tests
         self.model = ProtoNetTransformer(
-            cfg, d_model=d_model, n_layers=n_layers, n_head=n_head)
+            cfg, d_model=d_model or cfg.d_model,
+            n_layers=n_layers or cfg.n_layers,
+            n_head=n_head or cfg.n_head,
+            d_feed=d_feed or cfg.d_feed)
         self.tx = make_optimizer(cfg)
         self._rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
         self.state: Optional[TrainState] = None
@@ -69,8 +76,10 @@ class TransformerLearner:
 
     def train(self, ep: Episode) -> Dict[str, jax.Array]:
         self._rng, rng = jax.random.split(self._rng)
-        self.state, metrics = self._train_step(self.state, ep, rng)
+        self.state, metrics = self._train_step(self.state,
+                                               self._maybe_shard(ep), rng)
         return metrics
 
     def test(self, ep: Episode, *, eval_mdns: bool = False):
-        return self._eval_step(self.state, ep, eval_mdns=eval_mdns)
+        return self._eval_step(self.state, self._maybe_shard(ep),
+                               eval_mdns=eval_mdns)

@@ -56,6 +56,7 @@ class ProtoNet(nn.Module):
             c.output_dim, dgcnn_k=c.dgcnn_k, use_attention=c.use_attention,
             attn_dropout=c.attn_dropout, knn_impl=c.knn_impl,
             dtype=(jnp.bfloat16 if c.compute_dtype == "bfloat16" else None),
+            exact_grad_gather=c.exact_grad_gather,
             name="features")
         if self.with_contrast:
             self.proj = nn.Dense(c.proj_dim, name="proj")

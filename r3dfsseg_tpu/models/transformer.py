@@ -106,8 +106,12 @@ class ShotTransformer(nn.Module):
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         """x: (ways*shots, d_model) -> (ways*(shots+1), d_model)."""
+        # the reference sizes cls/pos embeddings by dim_feedforward
+        # (protonet.py:1048-1063), which only type-checks because it always
+        # runs with dim_feedforward == d_model == 128; the tokens they are
+        # added to are d_model-sized, so d_model is used here.
         if self.cls_type in ("cls_learn", "rand_const"):
-            cls_emb = nn.Embed(self.ways, self.d_feed, name="cls_embeddings")
+            cls_emb = nn.Embed(self.ways, self.d_model, name="cls_embeddings")
             cls_tokens = cls_emb(jnp.arange(self.ways))
             if self.cls_type == "rand_const":
                 cls_tokens = jax.lax.stop_gradient(cls_tokens)
@@ -117,7 +121,7 @@ class ShotTransformer(nn.Module):
             raise NotImplementedError(self.cls_type)
 
         seq = jnp.concatenate([cls_tokens, x], axis=0)
-        pos_emb = nn.Embed(self.ways, self.d_feed, name="pos_embeddings")
+        pos_emb = nn.Embed(self.ways, self.d_model, name="pos_embeddings")
         pos_idx = jnp.concatenate(
             [jnp.arange(self.ways),
              jnp.repeat(jnp.arange(self.ways), self.shots)])
@@ -146,6 +150,7 @@ class ProtoNetTransformer(nn.Module):
     d_model: int = 128
     n_layers: int = 3
     n_head: int = 8
+    d_feed: int = 128
     binary_loss_weight: float = 0.5     # protonet.py:1156
     clean_proto_loss_weight: float = 1.0  # protonet.py:1157
 
@@ -157,18 +162,21 @@ class ProtoNetTransformer(nn.Module):
             c.output_dim, dgcnn_k=c.dgcnn_k, use_attention=c.use_attention,
             attn_dropout=c.attn_dropout, knn_impl=c.knn_impl,
             dtype=(jnp.bfloat16 if c.compute_dtype == "bfloat16" else None),
+            exact_grad_gather=c.exact_grad_gather,
             name="features")
         # orthogonal-initialised in/out projections, out starts as a copy of
-        # in (protonet.py:1134-1139)
+        # in (protonet.py:1134-1139) — both params draw the same matrix from
+        # a seed-derived stream, then train independently
+        orth = nn.initializers.orthogonal()
+        shared = lambda _rng, shape: orth(  # noqa: E731
+            jax.random.PRNGKey(c.seed), shape)
         self.proj_trans_in = self.param(
-            "proj_trans_in", nn.initializers.orthogonal(),
-            (c.feat_dim, self.d_model))
+            "proj_trans_in", shared, (c.feat_dim, self.d_model))
         self.proj_trans_out = self.param(
-            "proj_trans_out", nn.initializers.orthogonal(),
-            (c.feat_dim, self.d_model))
+            "proj_trans_out", shared, (c.feat_dim, self.d_model))
         self.transformer = ShotTransformer(
             ways=c.n_way, shots=c.k_shot, num_layers=self.n_layers,
-            n_head=self.n_head, d_model=self.d_model, d_feed=self.d_model,
+            n_head=self.n_head, d_model=self.d_model, d_feed=self.d_feed,
             name="transformer")
         self.binary_head = nn.Dense(1, name="binary_outlier_detector")
 

@@ -78,6 +78,7 @@ class EdgeConv(nn.Module):
     k: int = 20
     knn_impl: str = "auto"
     dtype: Any = None
+    exact_grad_gather: bool = False
 
     def _knn(self, x: Array) -> Array:
         impl = self.knn_impl
@@ -96,6 +97,7 @@ class EdgeConv(nn.Module):
     def __call__(self, x: Array, train: bool = False) -> Array:
         idx = self._knn(jax.lax.stop_gradient(x))             # (B, N, K)
         e = _EdgeFirstLayer(self.widths[0], dtype=self.dtype,
+                            exact_grad=self.exact_grad_gather,
                             name="layer0")(x, idx, train=train)
         for i, w in enumerate(self.widths[1:], start=1):
             e = ConvBN(w, dtype=self.dtype, name=f"layer{i}")(e, train=train)
@@ -120,6 +122,7 @@ class _EdgeFirstLayer(nn.Module):
     features: int
     dtype: Any = None
     negative_slope: float = 0.2
+    exact_grad: bool = False
 
     @nn.compact
     def __call__(self, x: Array, idx: Array, train: bool = False) -> Array:
@@ -129,7 +132,7 @@ class _EdgeFirstLayer(nn.Module):
         a = conv(jnp.concatenate([x, zeros], axis=-1))        # x @ W_n
         b = conv(jnp.concatenate([-x, x], axis=-1))           # x @ (W_c - W_n)
         from r3dfsseg_tpu.ops.fast_gather import gather_neighbors_fast
-        e = gather_neighbors_fast(a, idx) + b[:, :, None, :]  # (B, N, K, C1)
+        e = gather_neighbors_fast(a, idx, self.exact_grad) + b[:, :, None, :]
         e = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5,
                          use_fast_variance=self.dtype is not None,
@@ -149,6 +152,7 @@ class DGCNN(nn.Module):
     return_edgeconvs: bool = False
     knn_impl: str = "auto"
     dtype: Any = None
+    exact_grad_gather: bool = False
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False):
@@ -156,7 +160,9 @@ class DGCNN(nn.Module):
         h = x
         for i, widths in enumerate(self.edgeconv_widths):
             h = EdgeConv(tuple(widths), k=self.k, knn_impl=self.knn_impl,
-                         dtype=self.dtype, name=f"edgeconv{i}")(h, train=train)
+                         dtype=self.dtype,
+                         exact_grad_gather=self.exact_grad_gather,
+                         name=f"edgeconv{i}")(h, train=train)
             outs.append(h)
         h = jnp.concatenate(outs, axis=-1)
         for i, w in enumerate(self.mlp_widths):
@@ -245,12 +251,14 @@ class FeatureExtractor(nn.Module):
     attn_dropout: float = 0.1
     knn_impl: str = "auto"
     dtype: Any = None
+    exact_grad_gather: bool = False
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         feat1, feat2 = DGCNN(
             self.edgeconv_widths, self.dgcnn_mlp_widths, k=self.dgcnn_k,
-            knn_impl=self.knn_impl, dtype=self.dtype, name="encoder",
+            knn_impl=self.knn_impl, dtype=self.dtype,
+            exact_grad_gather=self.exact_grad_gather, name="encoder",
         )(x, train=train)
         feat3 = BaseLearner(self.base_widths, dtype=self.dtype,
                             name="base_learner")(feat2, train=train)

@@ -12,8 +12,8 @@ The backward builds a (TILE, N) one-hot mask per tile and lets the MXU do
 the transpose-scatter as `onehot^T @ g`, accumulating across tiles into the
 VMEM-resident output block.  Gradients pass through one bf16 matmul pass
 (~0.2% relative error — mixed-precision-training grade); set
-`exact_grad_gather=True` on the config for an exact (slower) segment-sum
-backward.
+`exact_grad_gather=True` on `R3DConfig` (plumbed through FeatureExtractor ->
+DGCNN -> EdgeConv) for an exact (slower) segment-sum backward.
 """
 from __future__ import annotations
 

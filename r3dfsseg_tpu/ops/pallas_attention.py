@@ -6,8 +6,10 @@ materialises the (B, N, N) attention matrix in HBM several times (fwd +
 softmax + dropout + bwd ~ 6 passes x 16.8 MB per cloud): measured 41 ms
 fwd+bwd for 56 clouds on v5e.  Here each grid step computes a
 (TILE_Q, N) attention tile entirely in VMEM — scores, row softmax,
-dropout (pltpu PRNG, mask regenerated identically in the backward), and
-the PV matmul — so the attention matrix never touches HBM.
+dropout (pltpu PRNG, mask regenerated identically in the backward — both
+passes use the same 256-row query tile and per-(batch, tile) seed when
+dropout is active), and the PV matmul — so the attention matrix never
+touches HBM.
 
 Backward (custom_vjp, standard attention algebra with the dropout mask M,
 P = softmax(S), Pd = P*M/keep):
@@ -27,6 +29,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
+
+# Interpret-mode escape hatch for CPU tests (set by tests; the TPU path
+# never flips this).
+_INTERPRET = False
 
 
 def _dropout_mask(shape, rate: float):
@@ -87,19 +93,23 @@ def _attn_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, dy_ref,
 
     dv = jax.lax.dot_general(                      # Pd^T dY: (N, D)
         pd, dy, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
     dp = jax.lax.dot_general(                      # dY V^T: (TQ, N)
         dy, v, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
     if m is not None:
         dp = dp * m
     ds = p * (dp - jnp.sum(dp * p, axis=1, keepdims=True))   # (TQ, N)
     dq_ref[0] = jax.lax.dot_general(
         ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) * (1.0 / tau)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST) * (1.0 / tau)
     dk = jax.lax.dot_general(                      # dS^T Q / tau: (N, D)
         ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) * (1.0 / tau)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST) * (1.0 / tau)
 
     @pl.when(t == 0)
     def _():
@@ -121,6 +131,13 @@ def _tile_q(n: int, want: int) -> int:
     return max(t, 8)
 
 
+def _dropout_tile(n: int) -> int:
+    """The ONE query-tile size used by both fwd and bwd when dropout is
+    active: the per-(batch, tile) PRNG seed makes the mask a function of the
+    tiling, so the two passes must tile identically."""
+    return _tile_q(n, 256)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def fused_attention(q: Array, k: Array, v: Array, seed: Array,
                     tau: float, rate: float, train: bool) -> Array:
@@ -130,7 +147,11 @@ def fused_attention(q: Array, k: Array, v: Array, seed: Array,
 
 def _fwd_impl(q, k, v, seed, tau, rate, train):
     b, n, d = q.shape
-    tq = _tile_q(n, 512)
+    # The dropout mask is seeded per (batch, query-tile), so when dropout is
+    # active the forward MUST use the same query-tile size as the backward
+    # (256) or the regenerated mask diverges for N > 256.  Without dropout
+    # the bigger 512 tile halves K/V reloads.
+    tq = _dropout_tile(n) if (train and rate > 0.0) else _tile_q(n, 512)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
     grid = (b, n // tq)
     return pl.pallas_call(
@@ -150,12 +171,14 @@ def _fwd_impl(q, k, v, seed, tau, rate, train):
             out_specs=pl.BlockSpec((1, tq, d), lambda b_, t_, s_: (b_, t_, 0),
                                    memory_space=pltpu.VMEM),
         ),
+        interpret=_INTERPRET,
     )(seed_arr, q, k, v)
 
 
 def _bwd_impl(q, k, v, seed, tau, rate, train, dy):
     b, n, d = q.shape
-    tq = _tile_q(n, 256)
+    # must match the forward's tiling whenever dropout was applied there
+    tq = _dropout_tile(n) if (train and rate > 0.0) else _tile_q(n, 256)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
     grid = (b, n // tq)
     return pl.pallas_call(
@@ -187,6 +210,7 @@ def _bwd_impl(q, k, v, seed, tau, rate, train, dy):
                              memory_space=pltpu.VMEM),
             ),
         ),
+        interpret=_INTERPRET,
     )(seed_arr, q, k, v, dy)
 
 

@@ -72,11 +72,14 @@ def save_pretrain_checkpoint(path: str, params, batch_stats):
         f.write(serialization.msgpack_serialize(blob))
 
 
-def load_pretrain_checkpoint(path: str) -> Tuple[dict, dict]:
+def load_pretrain_checkpoint(path: str, cfg=None) -> Tuple[dict, dict]:
     """Returns (params, batch_stats) for the feature-extractor trunk.
 
     Accepts either our msgpack pretrain artifact or a reference torch .tar
-    (detected by extension/magic), converted on the fly.
+    (detected by extension/magic), converted on the fly.  Pass the session
+    config so a non-default architecture (edgeconv/mlp/base widths,
+    attention) converts against the right layer layout instead of the
+    converter defaults.
     """
     with open(path, "rb") as f:
         head = f.read(2)
@@ -84,7 +87,13 @@ def load_pretrain_checkpoint(path: str) -> Tuple[dict, dict]:
         from r3dfsseg_tpu.utils.torch_convert import (
             convert_feature_extractor, load_torch_checkpoint)
         sd = load_torch_checkpoint(path)
-        params, stats = convert_feature_extractor(sd)
+        kw = {}
+        if cfg is not None:
+            kw = dict(edgeconv_widths=cfg.edgeconv_widths,
+                      dgcnn_mlp_widths=cfg.dgcnn_mlp_widths,
+                      base_widths=cfg.base_widths,
+                      use_attention=cfg.use_attention)
+        params, stats = convert_feature_extractor(sd, **kw)
         return {"features": params}, {"features": stats}
     with open(path, "rb") as f:
         blob = serialization.msgpack_restore(f.read())

@@ -1,0 +1,94 @@
+"""EpisodeLoader scheduling: determinism in ordered mode, exception
+propagation from worker threads (round-1 ADVICE: a raising worker used to
+hang the consumer forever)."""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from r3dfsseg_tpu.data.loader import EpisodeLoader, prefetch_iter  # noqa: E402
+from r3dfsseg_tpu.models.episode import Episode  # noqa: E402
+
+
+def _mk_episode(val: float) -> Episode:
+    z = np.full((2, 2, 8, 9), val, np.float32)
+    return Episode(
+        support_x=z, support_y=np.zeros((2, 2, 8), np.int32),
+        query_x=z[:, 0], query_y=np.zeros((2, 8), np.int32))
+
+
+def _counter_fn(seed: int):
+    state = {"n": 0}
+
+    def fn():
+        state["n"] += 1
+        return _mk_episode(seed * 1000 + state["n"])
+    return fn
+
+
+def _first_vals(loader):
+    return [float(b.support_x.flat[0]) for b in loader]
+
+
+def test_ordered_mode_is_deterministic():
+    runs = []
+    for _ in range(3):
+        loader = EpisodeLoader(
+            _counter_fn(1), num_batches=12, episode_batch=1,
+            worker_fns=[_counter_fn(1), _counter_fn(2), _counter_fn(3)],
+            ordered=True)
+        runs.append(_first_vals(loader))
+    assert runs[0] == runs[1] == runs[2]
+    # batch i comes from worker i % n_workers: 1001, 2001, 3001, 1002, ...
+    assert runs[0][:6] == [1001.0, 2001.0, 3001.0, 1002.0, 2002.0, 3002.0]
+
+
+def test_unordered_mode_yields_all_batches():
+    loader = EpisodeLoader(
+        _counter_fn(1), num_batches=10, episode_batch=1,
+        worker_fns=[_counter_fn(1), _counter_fn(2)], ordered=False)
+    assert len(_first_vals(loader)) == 10
+
+
+@pytest.mark.parametrize("ordered", [True, False])
+def test_worker_exception_propagates(ordered):
+    def bad():
+        raise ValueError("sampler failed")
+
+    loader = EpisodeLoader(bad, num_batches=4, episode_batch=1,
+                           ordered=ordered)
+    with pytest.raises(ValueError, match="sampler failed"):
+        list(loader)
+
+
+def test_worker_exception_mid_stream():
+    state = {"n": 0}
+
+    def flaky():
+        state["n"] += 1
+        if state["n"] >= 3:
+            raise RuntimeError("boom at 3")
+        return _mk_episode(state["n"])
+
+    loader = EpisodeLoader(flaky, num_batches=6, episode_batch=1)
+    got = []
+    with pytest.raises(RuntimeError, match="boom at 3"):
+        for b in loader:
+            got.append(b)
+    assert len(got) == 2
+
+
+def test_prefetch_iter_order_and_errors():
+    assert list(prefetch_iter(iter(range(100)), prefetch=3)) == list(range(100))
+
+    def gen():
+        yield 1
+        raise KeyError("io error")
+
+    it = prefetch_iter(gen(), prefetch=2)
+    assert next(it) == 1
+    with pytest.raises(KeyError):
+        next(it)
