@@ -355,9 +355,15 @@ def _mpti_core(
         [proto_labels, jnp.zeros((qflat.shape[0], n_classes), jnp.float32)], axis=0)
 
     # ---- affinity + label propagation (mpti.py:511-512,717-776) ----
+    # bf16 mode extends the relaxed-precision contract to the graph's
+    # bandwidth-bound passes: neighbour selection compares bf16 distances
+    # and the CG matvec reads a bf16 copy of S (accuracy A/B in BASELINE.md)
+    lowp = jnp.bfloat16 if c.compute_dtype == "bfloat16" else None
     a = local_constrained_affinity(node_feat, c.k_connect, c.sigma,
-                                   valid=node_valid, impl=c.affinity_impl)
-    z = label_propagate(a, y0, c.lp_alpha, solver=c.lp_solver, cg_iters=c.lp_cg_iters)
+                                   valid=node_valid, impl=c.affinity_impl,
+                                   compare_dtype=lowp)
+    z = label_propagate(a, y0, c.lp_alpha, solver=c.lp_solver,
+                        cg_iters=c.lp_cg_iters, matvec_dtype=lowp)
 
     n_protos = (n_way + 1) * np_
     query_logits = z[n_protos:].reshape(

@@ -51,9 +51,13 @@ class ConvBN(nn.Module):
         # catastrophically on edge features whose mean >> std (~2e-2 drift
         # per block vs torch).  In bf16 mode numerics are already relaxed,
         # so the single-pass form saves one full-tensor reduction per BN.
+        # dtype=self.dtype keeps the normalised activations in bf16 in
+        # bf16 mode (halves the tensor bandwidth); flax always computes the
+        # batch statistics in f32 (force_float32_reductions), so BN running
+        # stats stay accurate
         x = nn.BatchNorm(
             use_running_average=not train,
-            momentum=0.9, epsilon=1e-5, name="bn",
+            momentum=0.9, epsilon=1e-5, name="bn", dtype=self.dtype,
             use_fast_variance=self.dtype is not None,
         )(x)
         if self.relu:
@@ -134,7 +138,7 @@ class _EdgeFirstLayer(nn.Module):
         from r3dfsseg_tpu.ops.fast_gather import gather_neighbors_fast
         e = gather_neighbors_fast(a, idx, self.exact_grad) + b[:, :, None, :]
         e = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5,
+                         epsilon=1e-5, dtype=self.dtype,
                          use_fast_variance=self.dtype is not None,
                          name="bn")(e)
         return nn.leaky_relu(e, self.negative_slope)

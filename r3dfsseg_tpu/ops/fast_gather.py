@@ -40,7 +40,7 @@ def _flat_take(x: Array, idx: Array) -> Array:
 def _scatter_kernel(idx_ref, g_ref, out_ref, *, n_keys: int):
     j = pl.program_id(1)
     ids = idx_ref[0]                                          # (TM, 1)
-    g = g_ref[0]                                              # (TM, C)
+    g = g_ref[0]                                              # (TM, C) f32|bf16
     col = jax.lax.broadcasted_iota(jnp.int32, (ids.shape[0], n_keys), 1)
     oh = (col == ids).astype(jnp.bfloat16)                    # (TM, N)
     contrib = jax.lax.dot_general(
@@ -58,13 +58,19 @@ def _scatter_kernel(idx_ref, g_ref, out_ref, *, n_keys: int):
 
 
 def scatter_add_pallas(g: Array, idx: Array, n: int) -> Array:
-    """dx[b, j] += g[b, n, k] where idx[b, n, k] == j  (bf16 matmul pass)."""
+    """dx[b, j] += g[b, n, k] where idx[b, n, k] == j  (bf16 matmul pass).
+
+    The cotangent is read at its incoming width — in bf16 mode upstream
+    already produces bf16, and upcasting before the kernel would double
+    the HBM read of the (B, N, K, C) edge-gradient tensor."""
     b, nq, k, c = g.shape
     m = nq * k
     tm = 2048
     while m % tm:
         tm //= 2
     flat = idx.reshape(b, m, 1)
+    if g.dtype not in (jnp.float32, jnp.bfloat16):
+        g = g.astype(jnp.float32)
     return pl.pallas_call(
         functools.partial(_scatter_kernel, n_keys=n),
         out_shape=jax.ShapeDtypeStruct((b, n, c), jnp.float32),
@@ -77,7 +83,7 @@ def scatter_add_pallas(g: Array, idx: Array, n: int) -> Array:
         ],
         out_specs=pl.BlockSpec((1, n, c), lambda i, j: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-    )(flat, g.reshape(b, m, c).astype(jnp.float32))
+    )(flat, g.reshape(b, m, c))
 
 
 def _scatter_exact(g: Array, idx: Array, n: int) -> Array:

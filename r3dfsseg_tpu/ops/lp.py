@@ -31,6 +31,7 @@ def local_constrained_affinity(
     valid: Array | None = None,
     method: str = "gaussian",
     impl: str = "threshold",
+    compare_dtype=None,
 ) -> Array:
     """Symmetric kNN affinity with zero diagonal (mpti.py:717-756).
 
@@ -48,6 +49,11 @@ def local_constrained_affinity(
           the k-th radius admit every tied neighbour (measure-zero for
           continuous features).
         'topk': exact lax.top_k + scatter (reference tie-break parity).
+      compare_dtype: optional low-precision dtype (bf16) for the threshold
+        path's neighbour *selection* only — the bisection + membership
+        passes read a half-width copy of the distance matrix (2x less HBM
+        traffic); similarity values stay f32.  Selection differs from f32
+        only on ties at bf16 resolution.
     Returns:
       (N, N) affinity matrix A = A_knn + A_knn^T with zero diagonal.
     """
@@ -75,8 +81,14 @@ def local_constrained_affinity(
         raise NotImplementedError(f"unknown affinity method {method!r}")
 
     if impl == "threshold":
-        radius = _kth_smallest_per_row(sel, k)              # (N, 1)
-        a = jnp.where(sel <= radius, sim_full, 0.0)
+        if compare_dtype is not None:
+            # ~8 fewer bisection steps suffice at bf16's 8-bit mantissa
+            sel_cmp = sel.astype(compare_dtype)
+            radius = _kth_smallest_per_row(sel_cmp, k, iters=20)
+        else:
+            sel_cmp = sel
+            radius = _kth_smallest_per_row(sel, k)          # (N, 1)
+        a = jnp.where(sel_cmp <= radius, sim_full, 0.0)
     elif impl == "topk":
         _, idx = jax.lax.top_k(-sel, k)                     # (N, k)
         sim = jnp.take_along_axis(sim_full, idx, axis=1)
@@ -123,7 +135,7 @@ def _normalized_propagation_matrix(a: Array) -> Array:
     return a * d_inv_sqrt[:, None] * d_inv_sqrt[None, :]
 
 
-@partial(jax.jit, static_argnames=("solver", "cg_iters"))
+@partial(jax.jit, static_argnames=("solver", "cg_iters", "matvec_dtype"))
 def label_propagate(
     a: Array,
     y: Array,
@@ -131,6 +143,7 @@ def label_propagate(
     *,
     solver: str = "cg",
     cg_iters: int = 50,
+    matvec_dtype=None,
 ) -> Array:
     """Closed-form label propagation Z = (I - alpha*S + eps)^-1 Y.
 
@@ -140,9 +153,17 @@ def label_propagate(
     solver='solve' is the dense-parity path; solver='cg' exploits symmetry
     and the tiny number of label columns — each iteration is one
     (N,N)x(N,n_classes) MXU matmul.
+
+    matvec_dtype=bf16 stores S half-width for the CG/Chebyshev matvecs
+    (accumulation stays f32): the solve is bandwidth-bound on re-reading S
+    every iteration, so this halves its wall-clock.  It solves a 0.4%%-
+    perturbed system (equivalent to quantising the affinity weights) —
+    accuracy-validated by the A/B convergence run in BASELINE.md; f32
+    (default) is the parity path.
     """
     eps = jnp.asarray(jnp.finfo(jnp.float64).eps, jnp.float32)
     s = _normalized_propagation_matrix(a.astype(jnp.float32))
+    s_mv = s.astype(matvec_dtype) if matvec_dtype is not None else s
     y = y.astype(jnp.float32)
 
     if solver == "solve":
@@ -157,7 +178,7 @@ def label_propagate(
         # wall-clock in 3 scalar reductions per step, Chebyshev spends none
         # (the eps*J rank-one term, ~2e-16, is dropped: invisible in f32).
         def matvec(z):
-            sz = jnp.einsum("nm,mc->nc", s, z,
+            sz = jnp.einsum("nm,mc->nc", s_mv, z,
                             preferred_element_type=jnp.float32,
                             precision=jax.lax.Precision.HIGHEST)
             return z - alpha * sz
@@ -172,8 +193,10 @@ def label_propagate(
         def matvec(z):
             # (I - alpha*S + eps*J) z  without materialising eps*J.
             # HIGHEST precision: CG stalls at ~1e-2 residuals if the TPU
-            # applies S with single-pass bf16 rounding.
-            sz = jnp.einsum("nm,mc->nc", s, z,
+            # applies an f32 S with single-pass bf16 rounding.  (With
+            # matvec_dtype=bf16 the *stored* S is quantised instead — a
+            # perturbed system CG then solves accurately.)
+            sz = jnp.einsum("nm,mc->nc", s_mv, z,
                             preferred_element_type=jnp.float32,
                             precision=jax.lax.Precision.HIGHEST)
             return z - alpha * sz + eps * jnp.sum(z, axis=0)[None, :]

@@ -25,7 +25,18 @@ _BIG = 3.4e38
 
 
 def _knn_kernel(q_ref, keys_ref, idx_ref, *, k: int, n_keys: int):
-    """One (TILE_N, C) query tile vs all (N, C) keys of the same cloud."""
+    """One (TILE_N, C) query tile vs all (N, C) keys of the same cloud.
+
+    The column index is packed into the low mantissa bits of the (clamped
+    non-negative) f32 distance, whose bit pattern is order-preserving: each
+    of the k extraction rounds is then ONE int32 min-reduction plus one
+    masked update (the packed keys are unique per row, so the winner
+    identifies itself) — 2 tile passes instead of the 3 an explicit
+    argmin + tie-break needs.  Cost: the low ceil(log2(N)) mantissa bits of
+    the distance are zeroed before comparison, so neighbours whose
+    distances agree to ~2^-12 relative may swap — and exact ties resolve
+    to the lowest index, same as lax.top_k on negated distances.
+    """
     q = q_ref[0].astype(jnp.float32)          # (TILE_N, C)
     keys = keys_ref[0].astype(jnp.float32)    # (N, C)
 
@@ -36,17 +47,20 @@ def _knn_kernel(q_ref, keys_ref, idx_ref, *, k: int, n_keys: int):
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )                                                     # (T, N)
-    d = qq - 2.0 * inner + kk.T
+    d = jnp.maximum(qq - 2.0 * inner + kk.T, 0.0)         # clamp: bitcast
+    #                                        order only holds for d >= 0
 
+    bits = max(int(n_keys - 1).bit_length(), 1)
+    lowmask = jnp.int32((1 << bits) - 1)
     col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)  # (T, N)
+    packed = (jax.lax.bitcast_convert_type(d, jnp.int32) & ~lowmask) | col
 
     outs = []
-    for _ in range(k):  # static unroll: k masked min-reductions
-        # argmin with lowest-index tie-break: min distance, then min index
-        m = jnp.min(d, axis=1, keepdims=True)              # (T, 1)
-        idx = jnp.min(jnp.where(d <= m, col, n_keys), axis=1)  # (T,)
-        outs.append(idx.astype(jnp.int32))
-        d = jnp.where(col == idx[:, None], _BIG, d)        # mask selection out
+    for _ in range(k):  # static unroll: k packed min-reductions
+        kmin = jnp.min(packed, axis=1)                     # (T,)
+        outs.append(kmin & lowmask)
+        packed = jnp.where(packed == kmin[:, None],
+                           jnp.int32(0x7FFFFFFF), packed)
     idx_ref[0] = jnp.stack(outs, axis=1)
 
 
