@@ -68,7 +68,7 @@ def gen_prototypes(embeddings: Array, ways: int, shots: int,
 
 class EncoderLayer(nn.Module):
     """Post-norm transformer encoder layer (torch TransformerEncoderLayer
-    defaults: norm_first=False, relu, dropout 0.1)."""
+    defaults: norm_first=False, relu, dropout 0.1, LayerNorm eps 1e-5)."""
     d_model: int
     n_head: int
     d_feed: int
@@ -81,13 +81,13 @@ class EncoderLayer(nn.Module):
             dropout_rate=self.dropout, deterministic=not train,
             name="self_attn")(x, x)
         attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
-        x = nn.LayerNorm(name="norm1")(x + attn)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x + attn)
         h = nn.Dense(self.d_feed, name="linear1")(x)
         h = nn.relu(h)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
         h = nn.Dense(self.d_model, name="linear2")(h)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        return nn.LayerNorm(name="norm2")(x + h)
+        return nn.LayerNorm(epsilon=1e-5, name="norm2")(x + h)
 
 
 class ShotTransformer(nn.Module):
@@ -99,6 +99,7 @@ class ShotTransformer(nn.Module):
     n_head: int = 8
     d_model: int = 128
     d_feed: int = 128
+    dropout: float = 0.1
     cls_type: str = "rand_const"   # reference config (protonet.py:1149)
     pos_type: str = "pos_learn"
     agg_method: str = "mean"
@@ -131,6 +132,7 @@ class ShotTransformer(nn.Module):
         h = (seq + pos)[None]                       # (1, L, d): batch-of-1
         for i in range(self.num_layers):
             h = EncoderLayer(self.d_model, self.n_head, self.d_feed,
+                             dropout=self.dropout,
                              name=f"layer{i}")(h, train=train)
         return h[0]
 
@@ -151,6 +153,7 @@ class ProtoNetTransformer(nn.Module):
     n_layers: int = 3
     n_head: int = 8
     d_feed: int = 128
+    dropout: float = 0.1
     binary_loss_weight: float = 0.5     # protonet.py:1156
     clean_proto_loss_weight: float = 1.0  # protonet.py:1157
 
@@ -177,7 +180,7 @@ class ProtoNetTransformer(nn.Module):
         self.transformer = ShotTransformer(
             ways=c.n_way, shots=c.k_shot, num_layers=self.n_layers,
             n_head=self.n_head, d_model=self.d_model, d_feed=self.d_feed,
-            name="transformer")
+            dropout=self.dropout, name="transformer")
         self.binary_head = nn.Dense(1, name="binary_outlier_detector")
 
     def __call__(self, ep: Episode, train: bool = False,

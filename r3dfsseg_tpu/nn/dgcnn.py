@@ -291,6 +291,7 @@ class DGCNNSegAttention(nn.Module):
     dgcnn_k: int = 20
     atten_dim: int = 128
     dropout: float = 0.3
+    attn_dropout: float = 0.1
     v2: bool = False
 
     @nn.compact
@@ -299,7 +300,8 @@ class DGCNNSegAttention(nn.Module):
             self.edgeconv_widths, self.dgcnn_mlp_widths, k=self.dgcnn_k,
             return_edgeconvs=True, name="encoder",
         )(x, train=train)
-        h = SelfAttention(self.atten_dim, name="att_learner")(h, train=train)
+        h = SelfAttention(self.atten_dim, self.attn_dropout,
+                          name="att_learner")(h, train=train)
         if self.v2:
             pc_feat = jnp.concatenate([outs[0], h], axis=-1)  # dgcnn.py:246
         else:

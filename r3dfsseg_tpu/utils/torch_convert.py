@@ -147,3 +147,99 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     else:
         sd = blob
     return {k: v.detach().cpu().numpy() for k, v in sd.items()}
+
+
+def convert_transformer_model(
+    torch_state: Dict[str, np.ndarray],
+    *,
+    d_model: int = 128,
+    n_head: int = 8,
+    n_layers: int = 3,
+    **fe_kw,
+) -> Tuple[dict, dict]:
+    """Reference `ProtoNet_transformer` state_dict -> (params, batch_stats)
+    for `ProtoNetTransformer` (protonet.py:1107-1155 module layout:
+    encoder/base_learner/att_learner + proj_trans_in/out + transformer
+    [torch TransformerEncoder] + binary_outlier_detector)."""
+    fe_params, fe_stats = convert_feature_extractor(torch_state, **fe_kw)
+    params: dict = {"features": fe_params}
+    stats: dict = {"features": fe_stats}
+    src = torch_state
+
+    params["proj_trans_in"] = np.asarray(src["proj_trans_in"])
+    params["proj_trans_out"] = np.asarray(src["proj_trans_out"])
+
+    hd = d_model // n_head
+    tr: dict = {
+        "cls_embeddings": {
+            "embedding": np.asarray(src["transformer.cls_embeddings.weight"])},
+        "pos_embeddings": {
+            "embedding": np.asarray(src["transformer.pos_embeddings.weight"])},
+    }
+    for i in range(n_layers):
+        g = f"transformer.encoder.layers.{i}."
+        w = np.asarray(src[g + "self_attn.in_proj_weight"])   # (3d, d)
+        b = np.asarray(src[g + "self_attn.in_proj_bias"])     # (3d,)
+        qkv = {}
+        for j, name in enumerate(("query", "key", "value")):
+            wj = w[j * d_model:(j + 1) * d_model]             # (d, d) out,in
+            qkv[name] = {
+                "kernel": np.ascontiguousarray(
+                    wj.T.reshape(d_model, n_head, hd)),
+                "bias": b[j * d_model:(j + 1) * d_model].reshape(n_head, hd),
+            }
+        ow = np.asarray(src[g + "self_attn.out_proj.weight"])  # (d, d) out,in
+        qkv["out"] = {
+            "kernel": np.ascontiguousarray(
+                ow.T.reshape(n_head, hd, d_model)),
+            "bias": np.asarray(src[g + "self_attn.out_proj.bias"]),
+        }
+        tr[f"layer{i}"] = {
+            "self_attn": qkv,
+            "linear1": {"kernel": _conv_kernel(src[g + "linear1.weight"]),
+                        "bias": np.asarray(src[g + "linear1.bias"])},
+            "linear2": {"kernel": _conv_kernel(src[g + "linear2.weight"]),
+                        "bias": np.asarray(src[g + "linear2.bias"])},
+            "norm1": {"scale": np.asarray(src[g + "norm1.weight"]),
+                      "bias": np.asarray(src[g + "norm1.bias"])},
+            "norm2": {"scale": np.asarray(src[g + "norm2.weight"]),
+                      "bias": np.asarray(src[g + "norm2.bias"])},
+        }
+    params["transformer"] = tr
+    params["binary_outlier_detector"] = {
+        "kernel": _conv_kernel(src["binary_outlier_detector.fc.weight"]),
+        "bias": np.asarray(src["binary_outlier_detector.fc.bias"]),
+    }
+    return params, stats
+
+
+def convert_seg_model(
+    torch_state: Dict[str, np.ndarray],
+    *,
+    edgeconv_widths=((64, 64), (64, 64), (64, 64)),
+    dgcnn_mlp_widths=(512, 256),
+) -> Tuple[dict, dict]:
+    """Reference `DGCNNSeg_attention(_v2)` state_dict -> (params,
+    batch_stats) for `DGCNNSegAttention` (dgcnn.py:185-255 layout:
+    encoder [DGCNN_Atten incl. att_learner] + segmenter Sequential
+    0=Conv,1=BN,3=Conv,4=BN,7=Conv)."""
+    src = torch_state
+    fe_params, fe_stats = convert_feature_extractor(
+        torch_state, edgeconv_widths=edgeconv_widths,
+        dgcnn_mlp_widths=dgcnn_mlp_widths, base_widths=(), use_attention=False)
+    params: dict = {"encoder": fe_params["encoder"]}
+    stats: dict = {"encoder": fe_stats["encoder"]}
+    params["att_learner"] = {
+        m: {"kernel": _conv_kernel(src[f"encoder.att_learner.{m}.weight"])}
+        for m in ("q_map", "k_map", "v_map")
+    }
+    for dst, conv_i, bn_i in (("seg0", 0, 1), ("seg1", 3, 4)):
+        lp, ls = {}, {}
+        _convbn(lp, ls, src, f"segmenter.{conv_i}", f"segmenter.{bn_i}")
+        params[dst] = lp
+        stats[dst] = ls
+    params["seg_out"] = {
+        "kernel": _conv_kernel(src["segmenter.7.weight"]),
+        "bias": np.asarray(src["segmenter.7.bias"]),
+    }
+    return params, stats
