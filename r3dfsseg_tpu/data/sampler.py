@@ -36,7 +36,9 @@ def load_scan(data_path: str, scan_name: str) -> np.ndarray:
     if hit is not None:
         _SCAN_CACHE.move_to_end(key)
         return hit
-    arr = np.load(key)
+    # float64 C-contiguous: the layout the native assemble kernel reads
+    # (reference block scans are float64 .npy already)
+    arr = np.ascontiguousarray(np.load(key), np.float64)
     _SCAN_CACHE[key] = arr
     while len(_SCAN_CACHE) > _SCAN_CACHE_MAX:
         _SCAN_CACHE.popitem(last=False)
@@ -54,9 +56,9 @@ def _mirror(axis: int) -> np.ndarray:
     return m
 
 
-def augment_pointcloud(P: np.ndarray, cfg: Dict, rng: np.random.Generator
-                       ) -> np.ndarray:
-    """Compose scale/rot/mirror on xyz, jitter everything (loader.py:354-373)."""
+def draw_augment(cfg: Dict, rng: np.random.Generator, num_point: int):
+    """Draw the augmentation matrix + (float32-rounded) jitter.  ONE place
+    makes the numpy and native paths consume an identical RNG stream."""
     M = np.eye(3)
     if cfg.get("scale", 0) > 1:
         s = rng.uniform(1.0 / cfg["scale"], cfg["scale"])
@@ -68,12 +70,22 @@ def augment_pointcloud(P: np.ndarray, cfg: Dict, rng: np.random.Generator
             M = _mirror(0) @ M
         if rng.random() < cfg["mirror_prob"] / 2:
             M = _mirror(1) @ M
-    P = P.copy()
-    P[:, :3] = P[:, :3] @ M.T
+    jitter = None
     if cfg.get("jitter", 0):
         sigma, clip = 0.01, 0.05
-        P = P + np.clip(sigma * rng.standard_normal(P.shape), -clip, clip
-                        ).astype(np.float32)
+        jitter = np.clip(sigma * rng.standard_normal((num_point, 3)),
+                         -clip, clip).astype(np.float32)
+    return M, jitter
+
+
+def augment_pointcloud(P: np.ndarray, cfg: Dict, rng: np.random.Generator
+                       ) -> np.ndarray:
+    """Compose scale/rot/mirror on xyz, jitter everything (loader.py:354-373)."""
+    M, jitter = draw_augment(cfg, rng, len(P))
+    P = P.copy()
+    P[:, :3] = P[:, :3] @ M.T
+    if jitter is not None:
+        P = P + jitter
     return P
 
 
@@ -114,6 +126,16 @@ def sample_scan(
         pick_valid = rng.choice(valid, n_valid, replace=False)
         pick_other = rng.choice(n, num_point - n_valid, replace=(n < num_point))
         idx = np.concatenate([pick_valid, pick_other])
+
+    # ---- native fast path: one C pass over the selected rows ----
+    # (partial noise needs data-dependent object loops -> numpy path)
+    from r3dfsseg_tpu import native
+    if native.assemble_scan is not None and not partial_noise:
+        return _assemble_native(
+            data, idx.astype(np.int64), num_point, pc_attribs,
+            sampled_class, sampled_classes, support,
+            pc_augm, pc_augm_config or {}, rng, scan_name)
+
     data = data[idx]
 
     # ---- attributes (loader.py:200-219) ----
@@ -179,6 +201,54 @@ def sample_scan(
 
     return (ptcloud, np.asarray(gt, np.int64), np.asarray(gt_gt, np.int64),
             cluster)
+
+
+def _assemble_native(data, idx, num_point, pc_attribs, sampled_class,
+                     sampled_classes, support, pc_augm, pc_augm_config, rng,
+                     scan_name):
+    """ctypes call into native/episode_ops.c — same outputs and RNG stream
+    as the numpy path below (tests/test_native_ops.py pins agreement)."""
+    import ctypes
+
+    from r3dfsseg_tpu import native
+
+    aug_m = jit = None
+    if pc_augm:
+        aug_m, jit = draw_augment(pc_augm_config, rng, num_point)
+        aug_m = np.ascontiguousarray(aug_m, np.float64)
+        if jit is not None:
+            jit = np.ascontiguousarray(jit, np.float64)
+
+    n_cols = data.shape[1]
+    if n_cols == 10:
+        cluster_col = 9
+    elif n_cols in (8, 9):
+        cluster_col = 7
+    else:
+        cluster_col = -1
+
+    n_attr = 3 * (("xyz" in pc_attribs) + ("rgb" in pc_attribs)
+                  + ("XYZ" in pc_attribs))
+    pt = np.empty((num_point, n_attr), np.float32)
+    label = np.empty(num_point, np.int64)
+    gt = np.empty(num_point, np.int64)
+    cluster = np.empty(num_point, np.int64)
+    classes = np.ascontiguousarray(sampled_classes, np.int64)
+
+    def ptr(a):
+        return ctypes.c_void_p(0 if a is None else a.ctypes.data)
+
+    fg = native.assemble_scan(
+        ptr(data), data.shape[0], n_cols,
+        ptr(idx), num_point,
+        ptr(aug_m), ptr(jit),
+        int("xyz" in pc_attribs), int("rgb" in pc_attribs),
+        int("XYZ" in pc_attribs),
+        int(sampled_class), ptr(classes), len(classes), int(support),
+        cluster_col,
+        ptr(pt), ptr(label), ptr(gt), ptr(cluster))
+    assert fg > 0, f"no fg points for class {sampled_class} in {scan_name}"
+    return pt, label, gt, cluster
 
 
 def sample_k_scans(data_path, num_point, pc_attribs, scan_names, *,
