@@ -170,8 +170,12 @@ def evaluate(cfg: R3DConfig):
     return mean_iou
 
 
-if __name__ == "__main__":
+def main():
     args = build_parser(eval_mode=True).parse_args()
     cfg = args_to_config(args, eval_mode=True)
     np.random.seed(cfg.seed)
     evaluate(cfg)
+
+
+if __name__ == "__main__":
+    main()

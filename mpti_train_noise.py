@@ -167,7 +167,7 @@ def train(cfg: R3DConfig):
     writer.close()
 
 
-if __name__ == "__main__":
+def main():
     args = build_parser(eval_mode=False).parse_args()
     cfg = args_to_config(args, eval_mode=False)
     np.random.seed(cfg.seed)
@@ -179,3 +179,7 @@ if __name__ == "__main__":
         pretrain(cfg)
     else:
         train(cfg)
+
+
+if __name__ == "__main__":
+    main()

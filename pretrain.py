@@ -130,7 +130,7 @@ def pretrain(cfg: R3DConfig, *, batch_size: int = 16, lr: float = 0.001,
     return out
 
 
-if __name__ == "__main__":
+def main():
     parser = build_parser(eval_mode=False)
     parser.add_argument("--pretrain_batch_size", type=int, default=16)
     parser.add_argument("--pretrain_lr", type=float, default=0.001)
@@ -138,3 +138,7 @@ if __name__ == "__main__":
     cfg = args_to_config(args, eval_mode=False).replace(phase="pretrain")
     np.random.seed(cfg.seed)
     pretrain(cfg, batch_size=args.pretrain_batch_size, lr=args.pretrain_lr)
+
+
+if __name__ == "__main__":
+    main()

@@ -105,6 +105,8 @@ class R3DConfig:
     compute_dtype: str = "float32"         # float32 | bfloat16 (encoder matmuls)
     exact_grad_gather: bool = False        # exact (slower) EdgeConv gather bwd
                                            # instead of the bf16 Pallas scatter
+    fuse_edge: str = "auto"                # fused EdgeConv tail kernels
+                                           # (auto: bf16 mode on TPU) | on | off
     mesh_shape: Optional[Tuple[int, ...]] = None   # None => single chip
     profile_dir: Optional[str] = None      # jax.profiler trace output
 

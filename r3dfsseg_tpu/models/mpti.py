@@ -188,6 +188,7 @@ class MPTINet(nn.Module):
             attn_dropout=c.attn_dropout, knn_impl=c.knn_impl,
             dtype=(jnp.bfloat16 if c.compute_dtype == "bfloat16" else None),
             exact_grad_gather=c.exact_grad_gather,
+            fuse_edge=c.fuse_edge,
             name="features")
         self.proj = nn.Dense(c.proj_dim, name="proj")  # mpti.py:83
 

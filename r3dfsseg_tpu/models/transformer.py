@@ -166,6 +166,7 @@ class ProtoNetTransformer(nn.Module):
             attn_dropout=c.attn_dropout, knn_impl=c.knn_impl,
             dtype=(jnp.bfloat16 if c.compute_dtype == "bfloat16" else None),
             exact_grad_gather=c.exact_grad_gather,
+            fuse_edge=c.fuse_edge,
             name="features")
         # orthogonal-initialised in/out projections, out starts as a copy of
         # in (protonet.py:1134-1139) — both params draw the same matrix from

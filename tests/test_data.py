@@ -148,3 +148,63 @@ def test_episode_loader_batches(ds):
     batches = list(loader)
     assert len(batches) == 3
     assert batches[0].support_x.shape == (2, 2, 2, 64, 9)
+
+
+def test_h5_cache_interop_with_reference_writer(ds, tmp_path):
+    """Write an episode cache file with the REFERENCE's own `write_episode`
+    (loader.py:1687-1703) and read it through our reader — and the reverse
+    — proving reference-materialised test sets load verbatim."""
+    import sys
+    import types
+
+    import pytest
+
+    # the reference loader imports open3d (unused) and transforms3d at
+    # module scope; stub what's missing
+    for mod in ("open3d", "transforms3d"):
+        if mod not in sys.modules:
+            try:
+                __import__(mod)
+            except ImportError:
+                sys.modules[mod] = types.ModuleType(mod)
+    sys.path.insert(0, "/root/reference")
+    try:
+        from dataloaders.loader import read_episode, write_episode
+    except Exception as e:  # pragma: no cover - missing torch etc.
+        pytest.skip(f"reference loader not importable: {e}")
+    finally:
+        sys.path.remove("/root/reference")
+
+    from r3dfsseg_tpu.data.cache import read_episode_h5, write_episode_h5
+    from r3dfsseg_tpu.data.episodes import NoisyEpisodeSampler
+
+    s = NoisyEpisodeSampler(
+        ds, "s3dis", cvfold=0, n_way=2, k_shot=2, n_queries=1,
+        mode="test", num_point=128, pc_attribs="xyzrgbXYZ",
+        noise_ratio=0.5, noise_type="sym", seed=5)
+    ep = s.sample()
+
+    # reference writes, we read
+    p1 = str(tmp_path / "ref_written.h5")
+    zeros_s = np.zeros_like(np.asarray(ep.support_y), dtype=np.int32)
+    zeros_q = np.zeros_like(np.asarray(ep.query_y), dtype=np.int32)
+    write_episode(p1, (np.asarray(ep.support_x), np.asarray(ep.support_y),
+                       np.asarray(ep.query_x), np.asarray(ep.query_y),
+                       np.asarray(ep.sampled_classes), zeros_s, zeros_q,
+                       np.asarray(ep.gt_support_y)))
+    back = read_episode_h5(p1)
+    np.testing.assert_allclose(back.support_x, ep.support_x)
+    np.testing.assert_array_equal(back.support_y, ep.support_y)
+    np.testing.assert_array_equal(back.query_y, ep.query_y)
+    np.testing.assert_array_equal(back.gt_support_y, ep.gt_support_y)
+    np.testing.assert_array_equal(back.sampled_classes, ep.sampled_classes)
+
+    # we write, reference reads
+    p2 = str(tmp_path / "ours_written.h5")
+    write_episode_h5(p2, ep)
+    (sup, smask, q, qlab, cls, _, _, gts) = read_episode(p2)
+    np.testing.assert_allclose(sup, np.asarray(ep.support_x))
+    np.testing.assert_array_equal(smask, np.asarray(ep.support_y))
+    np.testing.assert_array_equal(qlab, np.asarray(ep.query_y))
+    np.testing.assert_array_equal(gts, np.asarray(ep.gt_support_y))
+    np.testing.assert_array_equal(cls, np.asarray(ep.sampled_classes))
