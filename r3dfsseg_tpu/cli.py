@@ -90,9 +90,9 @@ def build_parser(eval_mode: bool = False) -> argparse.ArgumentParser:
     p.add_argument("--mesh", type=int, default=0,
                    help="episode-DP over N devices (0 = auto: use all "
                         "devices when episode_batch divides evenly)")
-    p.add_argument("--lp_solver", default="cg",
+    p.add_argument("--lp_solver", default="cheby",
                    choices=["cg", "cheby", "solve"])
-    p.add_argument("--lp_cg_iters", type=int, default=30)
+    p.add_argument("--lp_cg_iters", type=int, default=50)
     p.add_argument("--knn_impl", default="auto",
                    choices=["auto", "pallas", "xla", "approx"])
     p.add_argument("--affinity_impl", default="threshold",

@@ -98,8 +98,11 @@ class R3DConfig:
 
     # ------------------------------------------------------ TPU-only knobs
     episode_batch: int = 1                 # episodes fused into one jit step
-    lp_solver: str = "cg"                  # cg | cheby | solve (dense)
-    lp_cg_iters: int = 30              # CG converges by ~20 on real graphs
+    # Chebyshev at 50 iterations beats CG-30 on both axes (round 2,
+    # DESIGN.md): no per-iteration scalar reductions, and rel err vs the
+    # dense solve ~1e-3 vs CG-30's ~2e-2 at equal wall-clock.
+    lp_solver: str = "cheby"               # cheby | cg | solve (dense)
+    lp_cg_iters: int = 50                  # solver iterations
     knn_impl: str = "auto"                 # auto | pallas | xla | approx
     affinity_impl: str = "threshold"       # threshold (fast) | topk (tie parity)
     compute_dtype: str = "float32"         # float32 | bfloat16 (encoder matmuls)
