@@ -57,18 +57,26 @@ def test_few_shot(dataset, learner, logger, test_classes, *, eval_mdns=False,
     mdns_stats: dict = {}
     record = {"pred": [], "label": [], "classes": []} if save_record else None
 
-    def batches():
-        for start in range(0, n, ebatch):
-            yield [dataset[i] for i in range(start, min(start + ebatch, n))]
+    import jax
 
-    for eps in prefetch_iter(batches(), prefetch=4):
-        batch = stack_episodes(eps) if len(eps) > 1 else eps[0]
-        try:
+    def batches():
+        # stacking AND the (async) H2D transfer happen on the prefetch
+        # thread, so the device pipeline never waits on h5 reads or copies
+        for start in range(0, n, ebatch):
+            eps = [dataset[i] for i in range(start, min(start + ebatch, n))]
+            batch = stack_episodes(eps) if len(eps) > 1 else eps[0]
+            yield eps, jax.device_put(batch)
+
+    import inspect
+    supports_aux = "return_aux" in inspect.signature(
+        learner.test).parameters
+    for eps, batch in prefetch_iter(batches(), prefetch=4):
+        if supports_aux:
             pred, loss, _, aux = learner.test(batch, eval_mdns=eval_mdns,
                                               return_aux=True)
             for k, v in (aux or {}).items():
                 mdns_stats.setdefault(k, []).append(float(v))
-        except TypeError:   # learners without the aux channel
+        else:               # learners without the aux channel
             pred, loss, _ = learner.test(batch, eval_mdns=eval_mdns)
         pred = np.asarray(pred)
         loss = float(loss)

@@ -110,19 +110,22 @@ def train(cfg: R3DConfig):
         except Exception as e:
             logger.cprint(f"profiler unavailable: {e}")
     import time as _time
+
+    from r3dfsseg_tpu.data.loader import device_put_prefetch
+
     t_start = _time.perf_counter()
-    for step, batch in enumerate(loader):
-        if cfg.profile_dir and step == 3:
-            import jax
-            try:
-                jax.profiler.stop_trace()
-            except Exception:
-                pass
-        metrics = learner.train(batch)
-        # ONE device->host transfer for all scalars (each float() is a
-        # separate round-trip through the TPU tunnel)
-        import jax
-        metrics = jax.device_get(metrics)
+
+    def log_step(step, metrics):
+        """Host-side logging for one completed step (metrics device refs
+        are fetched here, one pipeline stage behind dispatch)."""
+        nonlocal t_start
+        # ONE device array -> ONE host transfer: leaf-by-leaf device_get of
+        # the metrics dict costs a tunnel round-trip per scalar
+        keys = sorted(metrics)
+        import jax.numpy as jnp
+        packed = jax.device_get(jnp.stack(
+            [metrics[k].astype(jnp.float32) for k in keys]))
+        metrics = dict(zip(keys, packed))
         it = (step + 1) * cfg.episode_batch
         # learners expose different loss decompositions (ProtoLearner has no
         # lp_loss; TransformerLearner adds clean_proto_loss) — log what each
@@ -149,7 +152,26 @@ def train(cfg: R3DConfig):
             writer.add_scalar("Train/episodes_per_sec", eps_s, it)
             logger.cprint("== throughput: %.2f episodes/s ==" % eps_s)
 
+    # The loop runs one pipeline stage ahead of the host: batch i+1 is
+    # already transferring (device_put_prefetch) and step i+1 is dispatched
+    # before step i's metrics are fetched, so the device never sits idle
+    # waiting on host logging or H2D copies.
+    pending = None
+    for step, batch in enumerate(device_put_prefetch(loader, n=2)):
+        if cfg.profile_dir and step == 3:
+            try:
+                jax.profiler.stop_trace()
+            except Exception:
+                pass
+        metrics = learner.train(batch)         # async dispatch
+        if pending is not None:
+            log_step(*pending)
+        pending = (step, metrics)
+
         if (step + 1) % eval_every == 0:
+            log_step(*pending)                 # flush before validating
+            pending = None
+            it = (step + 1) * cfg.episode_batch
             valid_loss, mean_iou = test_few_shot(
                 valid_set, learner, logger, list(valid_set.classes))
             logger.cprint("\n=====[VALID] Loss: %.4f | Mean IoU: %f  =====\n"
@@ -164,6 +186,8 @@ def train(cfg: R3DConfig):
             save_checkpoint(
                 os.path.join(cfg.log_dir, f"checkpoint_{it}.msgpack"),
                 learner.state, loss=valid_loss, iou=best_iou)
+    if pending is not None:
+        log_step(*pending)
     writer.close()
 
 

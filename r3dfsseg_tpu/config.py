@@ -108,8 +108,10 @@ class R3DConfig:
     compute_dtype: str = "float32"         # float32 | bfloat16 (encoder matmuls)
     exact_grad_gather: bool = False        # exact (slower) EdgeConv gather bwd
                                            # instead of the bf16 Pallas scatter
-    fuse_edge: str = "auto"                # fused EdgeConv tail kernels
-                                           # (auto: bf16 mode on TPU) | on | off
+    fuse_edge: str = "auto"                # EdgeConv tail: 'on' = fused
+                                           # Pallas kernels (measured SLOWER
+                                           # than XLA on v5e — DESIGN.md);
+                                           # auto/off = XLA path
     mesh_shape: Optional[Tuple[int, ...]] = None   # None => single chip
     profile_dir: Optional[str] = None      # jax.profiler trace output
 

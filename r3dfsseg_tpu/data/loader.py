@@ -32,6 +32,29 @@ class _WorkerError:
         self.exc = exc
 
 
+def device_put_prefetch(it, n: int = 2, put=None):
+    """Keep `n` batches in flight to the device.
+
+    `jax.device_put` is asynchronous on real TPU runtimes, so issuing the
+    transfer for batch i+1 before batch i's step completes hides the
+    ~1 MB/episode H2D copy.  The put stays on the CALLING thread: on this
+    container's tunnelled backend a device_put running concurrently with a
+    jit compile on another thread deadlocks the tunnel client (observed,
+    reproducible), so no background thread here.  Pass `put` to place with
+    a sharding (episode-DP)."""
+    import jax
+
+    put = put or jax.device_put
+    from collections import deque
+    buf = deque()
+    for item in it:
+        buf.append(put(item))
+        if len(buf) >= max(n, 1):
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
+
+
 def prefetch_iter(it, prefetch: int = 4):
     """Run an iterator on a background thread, keeping up to `prefetch`
     items ready.  Order-preserving; exceptions re-raise at the consumer.
@@ -85,10 +108,21 @@ class EpisodeLoader:
         q: "queue.Queue" = queue.Queue(maxsize=max(self.prefetch, 1))
         stop = threading.Event()
         n_workers = len(self.worker_fns)
+        # In-order release uses a pending buffer on the consumer side, so
+        # the queue's maxsize alone cannot bound memory (a stalled worker
+        # would let the others run arbitrarily far ahead).  Workers instead
+        # wait until their next index is within `window` of consumption.
+        window = max(self.prefetch, 1) + n_workers
+        cond = threading.Condition()
+        progress = {"yielded": 0}
 
         if self.ordered:
             def worker(w, fn):
                 for i in range(w, self.num_batches, n_workers):
+                    with cond:
+                        while (not stop.is_set()
+                               and i - progress["yielded"] >= window):
+                            cond.wait(timeout=0.2)
                     if stop.is_set():
                         return
                     try:
@@ -130,9 +164,14 @@ class EpisodeLoader:
                 if isinstance(batch, _WorkerError):
                     raise batch.exc
                 next_idx += 1
+                with cond:
+                    progress["yielded"] = next_idx
+                    cond.notify_all()
                 yield batch
         finally:
             stop.set()
+            with cond:
+                cond.notify_all()
             # drain so workers blocked on put() can exit
             while not q.empty():
                 try:

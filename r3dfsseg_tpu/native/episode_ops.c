@@ -99,7 +99,9 @@ long assemble_scan(
     double rng2[3];
     for (i = 0; i < 3; i++) {
         rng2[i] = mx2[i] - mn2[i];
-        if (rng2[i] == 0.0) rng2[i] = 1.0;   /* degenerate axis -> 0/1 */
+        /* no degenerate-axis guard: a zero range divides to inf/nan in
+         * IEEE, exactly like the numpy path (sampler.py XYZ normalise) —
+         * the two paths must stay bit-identical */
     }
 
     long fg = 0;

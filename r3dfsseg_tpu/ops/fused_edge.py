@@ -17,9 +17,11 @@ BN semantics match torch/flax exactly (eps 1e-5, batch statistics over
 full batch-norm gradient (statistics are functions of the input).  Ties in
 the max route to the lowest k, like XLA's reduce-max gradient.
 
-Used by `nn.dgcnn.EdgeConv` in bf16 mode on TPU (`fuse_edge='auto'`); the
-f32 parity path keeps the unfused flax modules.  CPU tests run these
-kernels in interpret mode against the unfused path (values and grads).
+Available behind `fuse_edge='on'` on `nn.dgcnn.EdgeConv`.  Measured on
+v5e the fused path LOSES to XLA's own bf16 fusion (DESIGN.md), so 'auto'
+resolves to the unfused flax modules; the kernels stay as a verified
+alternative.  CPU tests run them in interpret mode against the unfused
+path (values and grads).
 """
 from __future__ import annotations
 
@@ -50,7 +52,12 @@ def _tile_n(n: int, want: int = 256) -> int:
     t = min(want, n)
     while n % t:
         t //= 2
-    return max(t, 8)
+    if t < 8:
+        # silent tail-dropping would corrupt stats and gradients; the fused
+        # path requires a tileable point count
+        raise ValueError(
+            f"fuse_edge='on' needs the point count ({n}) divisible by 8")
+    return t
 
 
 # ---------------------------------------------------------------- forward
@@ -204,8 +211,7 @@ def _bwd3_kernel(e_ref, dout_ref, aff0_ref, sh0_ref, aff1_ref, sh1_ref,
 
 
 # -------------------------------------------------------------- dispatch
-def _call(kernel, e_raw, dout, vecs, mats, out_shapes, *, accumulate,
-          tile: int = 256):
+def _call(kernel, e_raw, dout, vecs, mats, out_shapes, *, tile: int = 256):
     """Shared pallas_call plumbing.
 
     vecs: list of (C,) f32 arrays fed as (1, C) whole-array blocks.
@@ -274,8 +280,7 @@ def _fwd_impl(e_raw, gamma0, beta0, w1, gamma1, beta1, m0, v0, m1, v1):
     aff1, sh1, inv1 = _bn_affines(gamma1, beta1, m1, v1)
     b, n, k, c = e_raw.shape
     out = _call(_fwd_kernel, e_raw, None, [aff0, sh0, aff1, sh1], [w1],
-                [jax.ShapeDtypeStruct((b, n, c), jnp.float32)],
-                accumulate=False)
+                [jax.ShapeDtypeStruct((b, n, c), jnp.float32)])
     return out, (aff0, sh0, inv0, aff1, sh1, inv1)
 
 
@@ -291,13 +296,16 @@ def edge_batch_stats(e_raw, gamma0, beta0, w1) -> Tuple[Array, ...]:
         jax.lax.stop_gradient, (e_raw, gamma0, beta0, w1))
     f = e_raw.astype(jnp.float32)
     m0 = jnp.mean(f, axis=(0, 1, 2))
-    v0 = jnp.mean(f * f, axis=(0, 1, 2)) - m0 * m0
+    # two-pass variance: raw edge features have mean >> std, where the
+    # E[x^2]-m^2 shortcut cancels catastrophically (see ConvBN); the
+    # post-BN0 l1 statistics below are zero-mean-ish so the kernel's
+    # single-pass accumulation is fine there
+    v0 = jnp.mean((f - m0) ** 2, axis=(0, 1, 2))
     aff0, sh0, _ = _bn_affines(gamma0, beta0, m0, v0)
     b, n, k, c = e_raw.shape
     s1, s2 = _call(_stats1_kernel, e_raw, None, [aff0, sh0], [w1],
                    [jax.ShapeDtypeStruct((1, c), jnp.float32),
-                    jax.ShapeDtypeStruct((1, c), jnp.float32)],
-                   accumulate=True)
+                    jax.ShapeDtypeStruct((1, c), jnp.float32)])
     count = b * n * k
     m1 = s1[0] / count
     v1 = s2[0] / count - m1 * m1
@@ -321,7 +329,7 @@ def _vjp_bwd(train, res, dout):
                    [aff0, sh0, aff1, sh1, inv1, m1], [w1],
                    [jax.ShapeDtypeStruct((1, c), jnp.float32),
                     jax.ShapeDtypeStruct((1, c), jnp.float32)],
-                   accumulate=True, tile=128)
+                   tile=128)
     dbeta1, dgamma1 = r1[0], r2[0]
     if train:
         mr1, mr2 = dbeta1 / count, dgamma1 / count
@@ -335,7 +343,7 @@ def _vjp_bwd(train, res, dout):
                         [jax.ShapeDtypeStruct((c, c), jnp.float32),
                          jax.ShapeDtypeStruct((1, c), jnp.float32),
                          jax.ShapeDtypeStruct((1, c), jnp.float32)],
-                        accumulate=True, tile=128)
+                   tile=128)
     dbeta0, dgamma0 = q1[0], q2[0]
     if train:
         mq1, mq2 = dbeta0 / count, dgamma0 / count
@@ -347,7 +355,7 @@ def _vjp_bwd(train, res, dout):
                [aff0, sh0, aff1, sh1, inv1, m1, g1inv, mr1, mr2,
                 inv0, m0, g0inv, mq1, mq2], [w1],
                [jax.ShapeDtypeStruct((b, n, k, c), e_raw.dtype)],
-               accumulate=False, tile=128)
+               tile=128)
     dz = jnp.zeros_like(m0)
     return (de, dgamma0, dbeta0, dw1, dgamma1, dbeta1, dz, dz, dz, dz)
 

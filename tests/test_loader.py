@@ -92,3 +92,42 @@ def test_prefetch_iter_order_and_errors():
     assert next(it) == 1
     with pytest.raises(KeyError):
         next(it)
+
+
+def test_ordered_mode_backpressure():
+    """A stalled worker must throttle the others: the pending window is
+    bounded by prefetch + n_workers, not by num_batches."""
+    import threading
+    import time
+
+    produced = []
+    gate = threading.Event()
+
+    def make_fn(w):
+        state = {"n": 0}
+
+        def fn():
+            state["n"] += 1
+            if w == 0 and state["n"] == 1:
+                gate.wait(timeout=10)     # worker 0 stalls on its 1st batch
+            produced.append((w, state["n"]))
+            return _mk_episode(w * 1000 + state["n"])
+        return fn
+
+    loader = EpisodeLoader(make_fn(0), num_batches=40, episode_batch=1,
+                           worker_fns=[make_fn(0), make_fn(1)],
+                           prefetch=2, ordered=True)
+    vals = []
+    consumer = threading.Thread(
+        target=lambda: vals.extend(
+            float(b.support_x.flat[0]) for b in loader),
+        daemon=True)
+    consumer.start()        # blocks on batch 0 (worker 0 is gated)
+    time.sleep(1.0)         # let worker 1 run as far as the window allows
+    ahead = len([p for p in produced if p[0] == 1])
+    # window = prefetch + n_workers = 4 -> worker 1 can produce at most a
+    # handful of batches while batch 0 is stuck
+    assert 0 < ahead <= 6, ahead
+    gate.set()
+    consumer.join(timeout=20)
+    assert len(vals) == 40
