@@ -45,7 +45,7 @@ def test_few_shot(dataset, learner, logger, test_classes, *, eval_mdns=False,
     this path at eval_noise.py:148-153 and threads it to the model, which
     never writes it — here the record is actually produced).
     """
-    from r3dfsseg_tpu.data.loader import prefetch_iter
+    from r3dfsseg_tpu.data.loader import device_put_prefetch, prefetch_iter
     from r3dfsseg_tpu.models.episode import stack_episodes
 
     acc = IoUAccumulator(list(test_classes))
@@ -58,28 +58,43 @@ def test_few_shot(dataset, learner, logger, test_classes, *, eval_mdns=False,
     record = {"pred": [], "label": [], "classes": []} if save_record else None
 
     import jax
+    import jax.numpy as jnp
 
     def batches():
-        # stacking AND the (async) H2D transfer happen on the prefetch
-        # thread, so the device pipeline never waits on h5 reads or copies
+        # h5 reads + stacking on the prefetch thread; the H2D copy happens
+        # on the MAIN thread (device_put_prefetch below) — a device_put
+        # concurrent with a jit compile deadlocks the tunnelled backend
         for start in range(0, n, ebatch):
             eps = [dataset[i] for i in range(start, min(start + ebatch, n))]
-            batch = stack_episodes(eps) if len(eps) > 1 else eps[0]
-            yield eps, jax.device_put(batch)
+            yield eps, (stack_episodes(eps) if len(eps) > 1 else eps[0])
 
     import inspect
     supports_aux = "return_aux" in inspect.signature(
         learner.test).parameters
-    for eps, batch in prefetch_iter(batches(), prefetch=4):
+
+    def dispatch(batch):
+        """One eval step; returns (pred_ref, packed_scalars_ref, aux_keys):
+        scalars ride ONE device array so the host pays one fetch, not one
+        round-trip per aux leaf."""
         if supports_aux:
             pred, loss, _, aux = learner.test(batch, eval_mdns=eval_mdns,
                                               return_aux=True)
-            for k, v in (aux or {}).items():
-                mdns_stats.setdefault(k, []).append(float(v))
+            keys = sorted(aux or {})
+            packed = jnp.stack([loss.astype(jnp.float32)]
+                               + [aux[k].astype(jnp.float32) for k in keys])
         else:               # learners without the aux channel
             pred, loss, _ = learner.test(batch, eval_mdns=eval_mdns)
+            keys = []
+            packed = jnp.stack([loss.astype(jnp.float32)])
+        return pred, packed, keys
+
+    def consume(eps, pred, packed, keys):
+        nonlocal total_loss, done
         pred = np.asarray(pred)
-        loss = float(loss)
+        scalars = jax.device_get(packed)
+        loss = float(scalars[0])
+        for k, v in zip(keys, scalars[1:]):
+            mdns_stats.setdefault(k, []).append(float(v))
         total_loss += loss * len(eps)
         for j, ep in enumerate(eps):  # pred is (E, Q, N); E==1 for single eps
             acc.update(pred[j], np.asarray(ep.query_y),
@@ -92,6 +107,18 @@ def test_few_shot(dataset, learner, logger, test_classes, *, eval_mdns=False,
         if done % max(log_every, 1) < len(eps):
             logger.cprint("[Eval] Iter: %d | Loss: %.4f | %s" % (
                 done, loss, str(datetime.now())))
+
+    src = device_put_prefetch(
+        prefetch_iter(batches(), prefetch=4), n=2,
+        put=lambda t: (t[0], jax.device_put(t[1])))
+    pending = None
+    for eps, batch in src:
+        refs = dispatch(batch)      # async; previous step fetches below
+        if pending is not None:
+            consume(*pending)
+        pending = (eps, *refs)
+    if pending is not None:
+        consume(*pending)
     mean_loss = total_loss / max(n, 1)
     for k, vals in sorted(mdns_stats.items()):
         if k.startswith("mdns"):

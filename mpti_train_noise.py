@@ -115,17 +115,25 @@ def train(cfg: R3DConfig):
 
     t_start = _time.perf_counter()
 
+    import jax.numpy as jnp
+
+    def fetch_steps(pending):
+        """ONE host transfer for a whole window of steps' metrics:
+        device_get costs a tunnel round-trip, so per-step (let alone
+        per-scalar) fetching dominates the loop; the window amortises it."""
+        if not pending:
+            return []
+        keys = sorted(pending[0][1])
+        stacked = jnp.stack([
+            jnp.stack([m[k].astype(jnp.float32) for k in keys])
+            for _, m in pending])
+        vals = jax.device_get(stacked)                  # (W, n_keys)
+        return [(step, dict(zip(keys, row)))
+                for (step, _), row in zip(pending, vals)]
+
     def log_step(step, metrics):
-        """Host-side logging for one completed step (metrics device refs
-        are fetched here, one pipeline stage behind dispatch)."""
+        """Host-side logging for one completed (already fetched) step."""
         nonlocal t_start
-        # ONE device array -> ONE host transfer: leaf-by-leaf device_get of
-        # the metrics dict costs a tunnel round-trip per scalar
-        keys = sorted(metrics)
-        import jax.numpy as jnp
-        packed = jax.device_get(jnp.stack(
-            [metrics[k].astype(jnp.float32) for k in keys]))
-        metrics = dict(zip(keys, packed))
         it = (step + 1) * cfg.episode_batch
         # learners expose different loss decompositions (ProtoLearner has no
         # lp_loss; TransformerLearner adds clean_proto_loss) — log what each
@@ -152,11 +160,18 @@ def train(cfg: R3DConfig):
             writer.add_scalar("Train/episodes_per_sec", eps_s, it)
             logger.cprint("== throughput: %.2f episodes/s ==" % eps_s)
 
-    # The loop runs one pipeline stage ahead of the host: batch i+1 is
-    # already transferring (device_put_prefetch) and step i+1 is dispatched
-    # before step i's metrics are fetched, so the device never sits idle
-    # waiting on host logging or H2D copies.
-    pending = None
+    # The loop runs ahead of the host: batches transfer via the prefetch
+    # generator, steps dispatch asynchronously, and metrics are fetched in
+    # windows of LOG_WINDOW steps (log lines appear in small bursts with
+    # the correct per-iteration values).
+    LOG_WINDOW = 8
+    pending = []
+
+    def flush():
+        for s, m in fetch_steps(pending):
+            log_step(s, m)
+        pending.clear()
+
     for step, batch in enumerate(device_put_prefetch(loader, n=2)):
         if cfg.profile_dir and step == 3:
             try:
@@ -164,13 +179,12 @@ def train(cfg: R3DConfig):
             except Exception:
                 pass
         metrics = learner.train(batch)         # async dispatch
-        if pending is not None:
-            log_step(*pending)
-        pending = (step, metrics)
+        pending.append((step, metrics))
+        if len(pending) >= LOG_WINDOW:
+            flush()
 
         if (step + 1) % eval_every == 0:
-            log_step(*pending)                 # flush before validating
-            pending = None
+            flush()                            # drain before validating
             it = (step + 1) * cfg.episode_batch
             valid_loss, mean_iou = test_few_shot(
                 valid_set, learner, logger, list(valid_set.classes))
@@ -186,8 +200,7 @@ def train(cfg: R3DConfig):
             save_checkpoint(
                 os.path.join(cfg.log_dir, f"checkpoint_{it}.msgpack"),
                 learner.state, loss=valid_loss, iou=best_iou)
-    if pending is not None:
-        log_step(*pending)
+    flush()
     writer.close()
 
 
