@@ -117,6 +117,8 @@ def train(cfg: R3DConfig):
 
     import jax.numpy as jnp
 
+    eval_elapsed = [0.0]   # subtracted from the throughput denominator
+
     def fetch_steps(pending):
         """ONE host transfer for a whole window of steps' metrics:
         device_get costs a tunnel round-trip, so per-step (let alone
@@ -156,7 +158,8 @@ def train(cfg: R3DConfig):
         if step == 0:
             t_start = _time.perf_counter()   # exclude jit compile of step 1
         if (step + 1) % 100 == 0:
-            eps_s = (it - cfg.episode_batch) / (_time.perf_counter() - t_start)
+            dt = _time.perf_counter() - t_start - eval_elapsed[0]
+            eps_s = (it - cfg.episode_batch) / max(dt, 1e-9)
             writer.add_scalar("Train/episodes_per_sec", eps_s, it)
             logger.cprint("== throughput: %.2f episodes/s ==" % eps_s)
 
@@ -185,6 +188,7 @@ def train(cfg: R3DConfig):
 
         if (step + 1) % eval_every == 0:
             flush()                            # drain before validating
+            t_eval = _time.perf_counter()
             it = (step + 1) * cfg.episode_batch
             valid_loss, mean_iou = test_few_shot(
                 valid_set, learner, logger, list(valid_set.classes))
@@ -200,6 +204,7 @@ def train(cfg: R3DConfig):
             save_checkpoint(
                 os.path.join(cfg.log_dir, f"checkpoint_{it}.msgpack"),
                 learner.state, loss=valid_loss, iou=best_iou)
+            eval_elapsed[0] += _time.perf_counter() - t_eval
     flush()
     writer.close()
 

@@ -141,3 +141,18 @@ def test_save_test_record(ds, tmp_path):
     data = np.load(rec)
     assert data["pred"].shape == data["label"].shape
     assert data["pred"].shape[0] >= 1 and data["classes"].shape[-1] == 2
+
+
+def test_windowed_logging_drops_no_lines(ds, tmp_path):
+    """The windowed metric fetch must emit exactly one Train line per
+    iteration, including the partial window at the end and around
+    validation flushes."""
+    from mpti_train_noise import train
+
+    cfg = _train_cfg(ds, tmp_path, "mptitrain").replace(
+        n_iters=11, eval_interval=5)
+    train(cfg)
+    log = open(os.path.join(cfg.log_dir, "log_mptitrain.txt")).read()
+    iters = [int(m) for m in
+             __import__("re").findall(r"==\[Train\] Iter: (\d+) \|", log)]
+    assert iters == list(range(1, 12)), iters
