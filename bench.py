@@ -132,7 +132,8 @@ def main():
     from r3dfsseg_tpu.config import R3DConfig
 
     opt_cfg = R3DConfig(episode_batch=EBATCH, lp_solver="cheby",
-                        lp_cg_iters=50, compute_dtype="bfloat16")
+                        lp_cg_iters=50, lp_adjoint_iters=30,
+                        compute_dtype="bfloat16")
     train_eps = measure_train(opt_cfg, EBATCH)
     eval_eps = measure_eval(opt_cfg, EBATCH)
 

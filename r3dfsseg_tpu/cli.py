@@ -93,6 +93,9 @@ def build_parser(eval_mode: bool = False) -> argparse.ArgumentParser:
     p.add_argument("--lp_solver", default="cheby",
                    choices=["cg", "cheby", "solve"])
     p.add_argument("--lp_cg_iters", type=int, default=50)
+    p.add_argument("--lp_adjoint_iters", type=int, default=0,
+                   help="iterations for the backward (adjoint) LP solve; "
+                        "0 = same as --lp_cg_iters")
     p.add_argument("--knn_impl", default="auto",
                    choices=["auto", "pallas", "xla", "approx"])
     p.add_argument("--affinity_impl", default="threshold",
@@ -141,7 +144,8 @@ def args_to_config(args: argparse.Namespace, eval_mode: bool = False) -> R3DConf
         shot_seed=args.shot_seed, seed=args.seed,
         mesh_shape=(args.mesh,) if getattr(args, "mesh", 0) > 0 else None,
         episode_batch=args.episode_batch, lp_solver=args.lp_solver,
-        lp_cg_iters=args.lp_cg_iters, knn_impl=args.knn_impl,
+        lp_cg_iters=args.lp_cg_iters,
+        lp_adjoint_iters=args.lp_adjoint_iters, knn_impl=args.knn_impl,
         affinity_impl=args.affinity_impl,
         compute_dtype=args.compute_dtype,
         profile_dir=args.profile_dir,

@@ -103,6 +103,12 @@ class R3DConfig:
     # dense solve ~1e-3 vs CG-30's ~2e-2 at equal wall-clock.
     lp_solver: str = "cheby"               # cheby | cg | solve (dense)
     lp_cg_iters: int = 50                  # solver iterations
+    lp_adjoint_iters: int = 0              # iterations for the backward
+                                           # (adjoint) solve; 0 = same as
+                                           # lp_cg_iters.  Training-only
+                                           # relaxation: truncates the
+                                           # gradient-side solve, not the
+                                           # forward predictions (ops/lp.py)
     knn_impl: str = "auto"                 # auto | pallas | xla | approx
     affinity_impl: str = "threshold"       # threshold (fast) | topk (tie parity)
     compute_dtype: str = "float32"         # float32 | bfloat16 (encoder matmuls)

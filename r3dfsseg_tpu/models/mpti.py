@@ -327,9 +327,16 @@ def _mpti_core(
         fg_used = fg
 
     # ---- multi-prototypes (mpti.py:488-489,597-715) ----
+    # FPS perf notes (v5e traces, round 3): the 100-iteration loop costs
+    # ~10 us/iteration, half in the (P, 192) distance update (VPU-bound —
+    # the feature matrix stays VMEM-resident, so a bf16 copy does NOT help;
+    # measured identical) and half in the argmax/dynamic-slice latency
+    # (merging ways+bg into one padded vmapped loop also measured SLOWER —
+    # the pad rows triple the VPU work).  Both rewrites were reverted.
     flat = support_feat.reshape(n_way, k_shot * n, d)
     fg_flat = fg_used.reshape(n_way, k_shot * n)
     fg_mp = jax.vmap(lambda f, m: multi_prototypes(f, m, np_))(flat, fg_flat)
+    fg_assign = fg_mp.assignments                      # (n_way, k_shot*n)
 
     bg_feat_all = support_feat.reshape(n_way * k_shot * n, d)
     bg_mask_all = (~fg).reshape(-1)                    # raw complement (mpti.py:486)
@@ -364,7 +371,9 @@ def _mpti_core(
                                    valid=node_valid, impl=c.affinity_impl,
                                    compare_dtype=lowp)
     z = label_propagate(a, y0, c.lp_alpha, solver=c.lp_solver,
-                        cg_iters=c.lp_cg_iters, matvec_dtype=lowp)
+                        cg_iters=c.lp_cg_iters, matvec_dtype=lowp,
+                        adjoint_iters=(c.lp_adjoint_iters or None)
+                        if train else None)
 
     n_protos = (n_way + 1) * np_
     query_logits = z[n_protos:].reshape(
@@ -390,7 +399,7 @@ def _mpti_core(
         way_ids = jnp.arange(n_way)[:, None]
         proto_is_cls = (proto_pred == way_ids + 1)              # (w, NP)
         point_pred = jnp.take_along_axis(
-            proto_is_cls, fg_mp.assignments, axis=1)            # (w, k*N)
+            proto_is_cls, fg_assign, axis=1)                    # (w, k*N)
         gt_flat = (ep.gt_support_y.reshape(n_way, -1) > 0)
         fgf = fg_used.reshape(n_way, -1).astype(jnp.float32)
         denom = jnp.maximum(jnp.sum(fgf, -1), 1.0)

@@ -325,7 +325,10 @@ class SelfAttention(nn.Module):
             impl = "pallas" if jax.default_backend() == "tpu" else "xla"
         if impl == "pallas":
             # fused VMEM-resident attention (ops/pallas_attention.py); the
-            # dropout mask regenerates from an int32 seed in fwd and bwd
+            # dropout mask regenerates from an int32 seed in fwd and bwd.
+            # In bf16 mode q/k/v stay bf16 so the kernel's matmuls take the
+            # single-pass MXU path (softmax statistics are f32 inside);
+            # f32 mode keeps full-precision scores via HIGHEST.
             from r3dfsseg_tpu.ops.pallas_attention import fused_attention
             if train and self.attn_dropout > 0.0:
                 seed = jax.random.randint(
@@ -333,10 +336,12 @@ class SelfAttention(nn.Module):
                     dtype=jnp.int32)
             else:
                 seed = jnp.int32(0)
+            if self.dtype == jnp.bfloat16:
+                q, k, v = (t.astype(jnp.bfloat16) for t in (q, k, v))
+            else:
+                q, k, v = (t.astype(jnp.float32) for t in (q, k, v))
             y = fused_attention(
-                q.astype(jnp.float32), k.astype(jnp.float32),
-                v.astype(jnp.float32), seed, float(d) ** 0.5,
-                self.attn_dropout, train)
+                q, k, v, seed, float(d) ** 0.5, self.attn_dropout, train)
             return y.astype(x.dtype)
 
         attn = jnp.einsum("bnd,bmd->bnm", q / jnp.sqrt(d).astype(q.dtype), k,

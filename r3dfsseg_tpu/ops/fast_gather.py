@@ -86,6 +86,81 @@ def scatter_add_pallas(g: Array, idx: Array, n: int) -> Array:
     )(flat, g.reshape(b, m, c))
 
 
+def _gather_kernel(idx_ref, tbl_ref, out_ref):
+    ids = idx_ref[0]                                          # (TM, 1)
+    tbl = tbl_ref[0]                                          # (N, C)
+    col = jax.lax.broadcasted_iota(jnp.int32, (ids.shape[0], tbl.shape[0]), 1)
+    oh = (col == ids).astype(tbl.dtype)                       # (TM, N)
+    out_ref[0] = jax.lax.dot_general(
+        oh, tbl,
+        dimension_numbers=(((1,), (0,)), ((), ())),           # oh @ tbl
+        preferred_element_type=jnp.float32).astype(out_ref.dtype)
+
+
+def gather_onehot_pallas(x: Array, idx: Array) -> Array:
+    """Row gather as a one-hot MXU matmul (mirror of the scatter backward).
+
+    out[b, i, k] = x[b, idx[b, i, k]] — each one-hot row has exactly one 1,
+    so every output element is a single product 1.0 * x[j, c]: EXACT in
+    bf16.  Kept for the record as a measured negative result (round 3,
+    v5e, 12x2048x20x64): 4.52 ms vs 4.39 ms for the XLA flat take — the
+    VPU-side one-hot build + 8 MB VMEM tile traffic eats the MXU win —
+    and in f32 it is INEXACT (Mosaic's fp32 contract precision rounds
+    through bf16 passes even with one-hot factors).  Not used.
+    """
+    b, n, c = x.shape
+    _, nq, k = idx.shape
+    m = nq * k
+    # keep the (TM, N) one-hot tile under ~8 MB of VMEM
+    tm = 2048 if x.dtype == jnp.bfloat16 else 512
+    while m % tm:
+        tm //= 2
+    return pl.pallas_call(
+        _gather_kernel,
+        out_shape=jax.ShapeDtypeStruct((b, m, c), x.dtype),
+        grid=(b, m // tm),
+        in_specs=[
+            pl.BlockSpec((1, tm, 1), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tm, c), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+    )(idx.reshape(b, m, 1), x).reshape(b, nq, k, c)
+
+
+def _onehot_take(x: Array, idx: Array) -> Array:
+    """Gather as an XLA one-hot einsum: XLA fuses the one-hot generation
+    into the dot (no (B, M, N) materialisation), and the MXU does the row
+    selection.  Exact in bf16 (every product is 0 or 1 x value; verified
+    elementwise vs flat take).  Measured 3.88 ms vs 4.39 ms flat take at
+    12x2048x20x64 on v5e — and unlike the scalar-core gather it runs on
+    the MXU, so it overlaps with the VPU/scalar work around it."""
+    b, n, c = x.shape
+    _, nq, k = idx.shape
+    oh = jax.nn.one_hot(idx.reshape(b, -1), n, dtype=x.dtype)
+    return jnp.einsum("bmn,bnc->bmc", oh, x).reshape(b, nq, k, c)
+
+
+def _take_fwd_impl(x: Array, idx: Array) -> Array:
+    # Measured (round 3, v5e, 12x2048x20x64): XLA flat take 4.39 ms,
+    # hand-written one-hot Pallas kernel 4.52 ms (negative result — see
+    # gather_onehot_pallas), XLA one-hot einsum 3.88 ms (bf16, exact).
+    # f32 keeps the flat take: the MXU's fp32 x3-decomposition rounds
+    # through bf16 passes, so the einsum is inexact there.
+    # Step-level A/B (3 runs, full MPTI train step): onehot 25.3/24.7,
+    # flat 25.3 eps/s — identical within noise.  The microbench win does
+    # not survive because XLA already overlaps the scalar-core gather with
+    # MXU work in the real step.  Default stays the simpler flat take;
+    # R3D_GATHER_IMPL=onehot selects the einsum form for experiments.
+    import os
+    if (jax.default_backend() == "tpu" and x.dtype == jnp.bfloat16
+            and os.environ.get("R3D_GATHER_IMPL", "flat") == "onehot"):
+        return _onehot_take(x, idx)
+    return _flat_take(x, idx)
+
+
 def _scatter_exact(g: Array, idx: Array, n: int) -> Array:
     b, nq, k, c = g.shape
     off = (jnp.arange(b, dtype=jnp.int32) * n)[:, None, None]
@@ -99,12 +174,24 @@ def gather_neighbors_fast(x: Array, idx: Array, exact_grad: bool = False
                           ) -> Array:
     """Drop-in for `gather_neighbors` with the fast fwd/bwd pair above.
     Falls back to exact XLA paths off-TPU."""
-    return _flat_take(x, idx)
+    return _take_fwd_impl(x, idx)
 
 
 def _fwd(x, idx, exact_grad):
     token = jnp.zeros((x.shape[1], 0), x.dtype)
-    return _flat_take(x, idx), (idx, token)
+    return _take_fwd_impl(x, idx), (idx, token)
+
+
+def _scatter_onehot_einsum(g: Array, idx: Array, n: int) -> Array:
+    """Scatter-add as an XLA one-hot einsum.  Same bf16-products/f32-accum
+    quality as the Pallas kernel, but XLA fuses the one-hot generation AND
+    the cotangent producer into the dot — no forced layout copies around a
+    custom call (the Pallas path costs ~1.0 ms/block of pure data
+    formatting: the cotangent arrives in the BN backward's {1,3,2,0}
+    layout and custom calls demand the default layout)."""
+    oh = jax.nn.one_hot(idx, n, dtype=g.dtype)        # (B, NQ, K, N) fused
+    return jnp.einsum("bnkm,bnkc->bmc", oh, g,
+                      preferred_element_type=jnp.float32)
 
 
 def _bwd(exact_grad, res, g):
@@ -112,6 +199,8 @@ def _bwd(exact_grad, res, g):
     n = token.shape[0]
     if exact_grad or jax.default_backend() != "tpu":
         dx = _scatter_exact(g, idx, n)
+    elif g.dtype == jnp.bfloat16:
+        dx = _scatter_onehot_einsum(g, idx, n)
     else:
         dx = scatter_add_pallas(g, idx, n)
     return dx.astype(token.dtype), None

@@ -31,7 +31,8 @@ Array = jax.Array
 _NEG = -1.0  # masked sentinel: strictly below any sq-distance (>= 0)
 
 
-def masked_fps(feat: Array, valid: Array, k: int) -> tuple[Array, Array]:
+def masked_fps(feat: Array, valid: Array, k: int,
+               select_dtype=None) -> tuple[Array, Array]:
     """Deterministic farthest point sampling over the valid subset.
 
     Args:
@@ -39,27 +40,35 @@ def masked_fps(feat: Array, valid: Array, k: int) -> tuple[Array, Array]:
         in the 192-d embedding space).
       valid: (N,) bool mask.
       k: number of seeds to draw (static).
+      select_dtype: optional low-precision dtype (bf16) for the distance
+        updates.  Measured NEUTRAL on v5e at the MPTI shape (the (N, C)
+        matrix stays VMEM-resident across iterations, so the loop is
+        VPU-throughput-bound, not HBM-bound, and bf16 does not change VPU
+        ops/lane) — kept as an experiment knob, not used by the models.
     Returns:
       seed_idx: (k,) int32 indices into ``feat``.  Slots >= min(k, n_valid)
         repeat already-chosen points and must be ignored via ``seed_valid``.
       seed_valid: (k,) bool — slot i is a real seed iff i < min(k, n_valid).
     """
     n = feat.shape[0]
-    feat = feat.astype(jnp.float32)
+    feat = feat.astype(select_dtype or jnp.float32)
     n_valid = jnp.sum(valid.astype(jnp.int32))
 
     # min squared distance to the chosen seed set; +inf for unchosen valid
     # points so the very first argmax picks the *first* valid point
-    # (ties in argmax resolve to the lowest index).
-    big = jnp.asarray(3.4e38, jnp.float32)
-    init_dist = jnp.where(valid, big, _NEG)
+    # (ties in argmax resolve to the lowest index).  All loop-carried
+    # arrays stay in feat.dtype so the bf16 selection mode really halves
+    # the per-iteration traffic.
+    big = jnp.asarray(3.4e38, feat.dtype)
+    neg = jnp.asarray(_NEG, feat.dtype)
+    init_dist = jnp.where(valid, big, neg)
 
     def body(i, carry):
         min_dist, seeds = carry
         pick = jnp.argmax(min_dist).astype(jnp.int32)
         seeds = seeds.at[i].set(pick)
         d = jnp.sum((feat - feat[pick]) ** 2, axis=-1)
-        d = jnp.where(valid, d, _NEG)
+        d = jnp.where(valid, d, neg)
         min_dist = jnp.minimum(min_dist, d)
         return min_dist, seeds
 
@@ -76,22 +85,28 @@ class MultiPrototypes(NamedTuple):
     assignments: Array  # (N,) int32 nearest-seed slot per point (garbage where ~valid)
 
 
-def multi_prototypes(feat: Array, valid: Array, k: int) -> MultiPrototypes:
+def multi_prototypes(feat: Array, valid: Array, k: int,
+                     select_dtype=None) -> MultiPrototypes:
     """FPS seeds + hard assignment + per-cluster means, fixed shapes.
 
     Mirrors `getMutiplePrototypes` (mpti.py:597-634) under masking: the
     output always has ``k`` prototype slots; ``proto_valid`` marks the
-    min(k, n_valid) real ones.
+    min(k, n_valid) real ones.  ``select_dtype`` relaxes the seed/assignment
+    *selection* distances to bf16 (see masked_fps); means stay f32.
     """
     n, c = feat.shape
     feat32 = feat.astype(jnp.float32)
-    seed_idx, seed_valid = masked_fps(feat32, valid, k)
+    seed_idx, seed_valid = masked_fps(feat32, valid, k, select_dtype)
     seeds = feat32[seed_idx]                                  # (k, C)
 
     # point -> nearest valid seed (mpti.py:618-622); Gram-trick matmul keeps
     # this on the MXU instead of materialising an (N, k, C) broadcast.
     from r3dfsseg_tpu.ops.knn import pairwise_sqdist
-    d = pairwise_sqdist(feat32, seeds)                        # (N, k)
+    if select_dtype is not None:
+        d = pairwise_sqdist(feat32.astype(select_dtype),
+                            seeds.astype(select_dtype)).astype(jnp.float32)
+    else:
+        d = pairwise_sqdist(feat32, seeds)                    # (N, k)
     big = jnp.asarray(3.4e38, jnp.float32)
     d = jnp.where(seed_valid[None, :], d, big)
     assign = jnp.argmin(d, axis=-1).astype(jnp.int32)        # (N,)

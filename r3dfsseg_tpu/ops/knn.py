@@ -18,12 +18,17 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
-def pairwise_sqdist(x: Array, y: Array | None = None) -> Array:
+def pairwise_sqdist(x: Array, y: Array | None = None,
+                    precision=None) -> Array:
     """Squared Euclidean distance matrix.
 
     Args:
       x: (..., N, C) points.
       y: (..., M, C) points; defaults to ``x``.
+      precision: matmul precision override.  Default: HIGHEST for f32
+        inputs (neighbour *selection* downstream must not be perturbed by
+        the TPU's single-bf16-pass f32 matmul), single-pass for bf16
+        inputs (the caller already opted into relaxed selection).
     Returns:
       (..., N, M) squared distances (clamped at 0 for numerical safety).
     """
@@ -33,12 +38,13 @@ def pairwise_sqdist(x: Array, y: Array | None = None) -> Array:
     # reference uses (dgcnn.py:18-20), evaluated on the MXU.
     xx = jnp.sum(x * x, axis=-1, keepdims=True)            # (..., N, 1)
     yy = jnp.sum(y * y, axis=-1, keepdims=True)            # (..., M, 1)
-    # HIGHEST precision: neighbour *selection* downstream must not be
-    # perturbed by bf16 MXU rounding.
+    if precision is None:
+        precision = (None if x.dtype == jnp.bfloat16
+                     else jax.lax.Precision.HIGHEST)
     inner = jnp.einsum(
         "...nc,...mc->...nm", x, y,
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )
     d = xx - 2.0 * inner + jnp.swapaxes(yy, -1, -2)
     return jnp.maximum(d, 0.0)

@@ -63,7 +63,25 @@ def local_constrained_affinity(
     # ONE distance matrix: gradients flow through the similarity values
     # while neighbour *selection* sees a detached copy — the reference
     # behaves the same way via its CPU faiss round-trip (mpti.py:731).
-    sqd = pairwise_sqdist(f32)
+    # Relaxed mode computes the Gram inner product from MEAN-CENTERED bf16
+    # inputs with f32 norms: distances are translation-invariant, and
+    # centering shrinks |x|^2 to the spread scale, so the bf16 rounding
+    # lands as ~relative (not absolute) error on d.  Measured on
+    # realistic activations (top-200 neighbours): median 0.11% / p99 1.2%
+    # similarity error — same class as the bf16 matvec storage.  A RAW
+    # bf16 gram was rejected (p99 ~11%: the large cancelling |x|^2 terms
+    # turn 0.4% input rounding into ~0.3 absolute d error, which
+    # exp(-d/2) amplifies).  Fwd+bwd run single-pass on the MXU: ~2.6 ms
+    # faster per step than HIGHEST.
+    if compare_dtype is not None:
+        xc = f32 - jnp.mean(f32, axis=0, keepdims=True)
+        xb = xc.astype(compare_dtype)
+        xx = jnp.sum(xc * xc, axis=-1, keepdims=True)       # f32 norms
+        inner = jnp.einsum("nc,mc->nm", xb, xb,
+                           preferred_element_type=jnp.float32)
+        sqd = jnp.maximum(xx - 2.0 * inner + xx.T, 0.0)
+    else:
+        sqd = pairwise_sqdist(f32)
     big = jnp.asarray(3.4e38, jnp.float32)
     eye = jnp.eye(n, dtype=bool)
     sel = jax.lax.stop_gradient(sqd)
@@ -82,9 +100,12 @@ def local_constrained_affinity(
 
     if impl == "threshold":
         if compare_dtype is not None:
-            # ~8 fewer bisection steps suffice at bf16's 8-bit mantissa
+            # each bisection iteration re-reads the full matrix (HBM-bound);
+            # 16 value-space steps resolve the radius to ~1.5e-5 of the
+            # range — below bf16's own resolution, so extra steps only
+            # re-split ties the bf16 compare cannot distinguish anyway
             sel_cmp = sel.astype(compare_dtype)
-            radius = _kth_smallest_per_row(sel_cmp, k, iters=20)
+            radius = _kth_smallest_per_row(sel_cmp, k, iters=16)
         else:
             sel_cmp = sel
             radius = _kth_smallest_per_row(sel, k)          # (N, 1)
@@ -135,7 +156,8 @@ def _normalized_propagation_matrix(a: Array) -> Array:
     return a * d_inv_sqrt[:, None] * d_inv_sqrt[None, :]
 
 
-@partial(jax.jit, static_argnames=("solver", "cg_iters", "matvec_dtype"))
+@partial(jax.jit, static_argnames=("solver", "cg_iters", "matvec_dtype",
+                                   "adjoint_iters"))
 def label_propagate(
     a: Array,
     y: Array,
@@ -144,6 +166,7 @@ def label_propagate(
     solver: str = "cg",
     cg_iters: int = 50,
     matvec_dtype=None,
+    adjoint_iters: int | None = None,
 ) -> Array:
     """Closed-form label propagation Z = (I - alpha*S + eps)^-1 Y.
 
@@ -160,6 +183,14 @@ def label_propagate(
     perturbed system (equivalent to quantising the affinity weights) —
     accuracy-validated by the A/B convergence run in BASELINE.md; f32
     (default) is the parity path.
+
+    adjoint_iters (training-only relaxation): iteration count for the
+    *adjoint* solve the backward pass runs through custom_linear_solve.
+    The adjoint only shapes the gradient of the episode loss — its
+    truncation error (cheby-30 ~ 1.6e-2 relative) lands on top of SGD
+    noise, the same error class the round-1 CG-30 *forward* ran with —
+    while the forward solve keeps full accuracy for the argmax
+    predictions.  None (default) = same as cg_iters (parity behaviour).
     """
     eps = jnp.asarray(jnp.finfo(jnp.float64).eps, jnp.float32)
     s = _normalized_propagation_matrix(a.astype(jnp.float32))
@@ -187,7 +218,13 @@ def label_propagate(
             return _chebyshev(mv, b, 1.0 - alpha, 1.0 + alpha,
                               iters=max(cg_iters, 1))
 
-        return jax.lax.custom_linear_solve(matvec, y, solve_fn, symmetric=True)
+        tsolve = None
+        if adjoint_iters is not None and adjoint_iters != cg_iters:
+            def tsolve(mv, b):  # noqa: F811
+                return _chebyshev(mv, b, 1.0 - alpha, 1.0 + alpha,
+                                  iters=max(adjoint_iters, 1))
+        return jax.lax.custom_linear_solve(
+            matvec, y, solve_fn, transpose_solve=tsolve, symmetric=True)
 
     if solver == "cg":
         def matvec(z):
@@ -204,9 +241,14 @@ def label_propagate(
         def solve_fn(mv, b):
             return _block_cg(mv, b, iters=cg_iters)
 
+        tsolve = None
+        if adjoint_iters is not None and adjoint_iters != cg_iters:
+            def tsolve(mv, b):  # noqa: F811
+                return _block_cg(mv, b, iters=max(adjoint_iters, 1))
         # custom_linear_solve(symmetric=True) reuses the same CG for the
         # adjoint, making Z differentiable w.r.t. A and Y.
-        return jax.lax.custom_linear_solve(matvec, y, solve_fn, symmetric=True)
+        return jax.lax.custom_linear_solve(
+            matvec, y, solve_fn, transpose_solve=tsolve, symmetric=True)
 
     raise NotImplementedError(f"unknown LP solver {solver!r}")
 

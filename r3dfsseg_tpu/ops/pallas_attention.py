@@ -45,16 +45,24 @@ def _dropout_mask(shape, rate: float):
     return (u >= rate).astype(jnp.float32) / (1.0 - rate)
 
 
+def _prec(lowp: bool):
+    # bf16 operands take the single-pass MXU path; f32 operands pin
+    # HIGHEST (x3-decomposition) so parity mode keeps full f32 scores.
+    return None if lowp else jax.lax.Precision.HIGHEST
+
+
 def _attn_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, y_ref, *,
                      tau: float, rate: float, train: bool):
     b, t = pl.program_id(0), pl.program_id(1)
-    q = q_ref[0].astype(jnp.float32)          # (TQ, D)
-    k = k_ref[0].astype(jnp.float32)          # (N, D)
-    v = v_ref[0].astype(jnp.float32)          # (N, D)
+    lowp = q_ref.dtype == jnp.bfloat16
+    q = q_ref[0]                              # (TQ, D)
+    k = k_ref[0]                              # (N, D)
+    v = v_ref[0]                              # (N, D)
     s = jax.lax.dot_general(
-        q * (1.0 / tau), k, dimension_numbers=(((1,), (1,)), ((), ())),
+        q * jnp.asarray(1.0 / tau, q.dtype), k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)  # (TQ, N)
+        precision=_prec(lowp))                # (TQ, N) f32
     s = s - jnp.max(s, axis=1, keepdims=True)
     e = jnp.exp(s)
     p = e / jnp.sum(e, axis=1, keepdims=True)
@@ -62,27 +70,30 @@ def _attn_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, y_ref, *,
         pltpu.prng_seed(seed_ref[0] + b * 65536 + t)
         p = p * _dropout_mask(p.shape, rate)
     y_ref[0] = jax.lax.dot_general(
-        p, v, dimension_numbers=(((1,), (0,)), ((), ())),
+        p.astype(q.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+        precision=_prec(lowp))
 
 
 def _attn_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, dy_ref,
                      dq_ref, dk_ref, dv_ref, *,
                      tau: float, rate: float, train: bool):
     b, t = pl.program_id(0), pl.program_id(1)
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    dy = dy_ref[0].astype(jnp.float32)        # (TQ, D)
+    lowp = q_ref.dtype == jnp.bfloat16
+    prec = _prec(lowp)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    dy = dy_ref[0].astype(q.dtype)            # (TQ, D)
 
     s = jax.lax.dot_general(
-        q * (1.0 / tau), k, dimension_numbers=(((1,), (1,)), ((), ())),
+        q * jnp.asarray(1.0 / tau, q.dtype), k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+        precision=prec)
     s = s - jnp.max(s, axis=1, keepdims=True)
     e = jnp.exp(s)
-    p = e / jnp.sum(e, axis=1, keepdims=True)      # (TQ, N)
+    p = e / jnp.sum(e, axis=1, keepdims=True)      # (TQ, N) f32
 
     if train and rate > 0.0:
         pltpu.prng_seed(seed_ref[0] + b * 65536 + t)
@@ -92,24 +103,25 @@ def _attn_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, dy_ref,
     pd = p * m if m is not None else p
 
     dv = jax.lax.dot_general(                      # Pd^T dY: (N, D)
-        pd, dy, dimension_numbers=(((0,), (0,)), ((), ())),
+        pd.astype(q.dtype), dy, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+        precision=prec)
     dp = jax.lax.dot_general(                      # dY V^T: (TQ, N)
         dy, v, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+        precision=prec)
     if m is not None:
         dp = dp * m
-    ds = p * (dp - jnp.sum(dp * p, axis=1, keepdims=True))   # (TQ, N)
-    dq_ref[0] = jax.lax.dot_general(
-        ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
+    ds = p * (dp - jnp.sum(dp * p, axis=1, keepdims=True))   # (TQ, N) f32
+    ds_l = ds.astype(q.dtype)
+    dq_ref[0] = (jax.lax.dot_general(
+        ds_l, k, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST) * (1.0 / tau)
+        precision=prec) * (1.0 / tau)).astype(dq_ref.dtype)
     dk = jax.lax.dot_general(                      # dS^T Q / tau: (N, D)
-        ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+        ds_l, q, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST) * (1.0 / tau)
+        precision=prec) * (1.0 / tau)
 
     @pl.when(t == 0)
     def _():
@@ -221,7 +233,8 @@ def _vjp_fwd(q, k, v, seed, tau, rate, train):
 def _vjp_bwd(tau, rate, train, res, dy):
     q, k, v, seed = res
     dq, dk, dv = _bwd_impl(q, k, v, seed, tau, rate, train, dy)
-    return dq, dk, dv, None
+    # accumulation runs in f32 out-blocks; cotangents must match primal dtype
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), None
 
 
 fused_attention.defvjp(_vjp_fwd, _vjp_bwd)

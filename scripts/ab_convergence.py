@@ -41,18 +41,42 @@ def run(tag, ds, tmp, n_iters, **kw):
     return ious, losses
 
 
+def pretrain_encoder(ds, tmp, n_iters=400):
+    """Reference-protocol prologue: supervised pretrain of the feature
+    extractor on the (synthetic) train split.  The real workflow NEVER
+    meta-trains from a random encoder (`/root/reference/README.md` step 1,
+    `mpti_train_noise.py:61-64`), and from-scratch meta-training on
+    synthetic data sits in a marginal ln(3)-plateau regime where escape is
+    seed-luck — pretraining removes that confounder from the A/B."""
+    from pretrain import pretrain
+    from r3dfsseg_tpu.config import R3DConfig
+
+    cfg = R3DConfig(dataset="s3dis", cvfold=0, clean_data_path=ds,
+                    pc_npts=2048, use_attention=True, n_iters=n_iters,
+                    seed=321, log_dir=os.path.join(tmp, "pretrain"),
+                    save_path=tmp, phase="pretrain")
+    return pretrain(cfg, batch_size=16)
+
+
 def main():
     n_iters = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
     from r3dfsseg_tpu.data.synthetic import make_synthetic_dataset
     tmp = tempfile.mkdtemp(prefix="ab_")
     ds = make_synthetic_dataset(os.path.join(tmp, "blocks"), n_scans=60,
                                 pts_per_scan=4096, seed=7)
+    ckpt = pretrain_encoder(ds, tmp)
 
+    # current design point: bf16 everywhere the relaxed contract allows
+    # (encoder + attention matmuls, graph gram, neighbour compare, solver
+    # matvec storage, einsum scatter backward), cheby-50 forward solve,
+    # truncated cheby-30 adjoint solve.
     a_iou, a_loss = run("optimized", ds, tmp, n_iters,
-                        episode_batch=4, compute_dtype="bfloat16",
-                        affinity_impl="threshold", lp_solver="cg",
-                        lp_cg_iters=30)
+                        pretrain_checkpoint_path=ckpt,
+                        episode_batch=1, compute_dtype="bfloat16",
+                        affinity_impl="threshold", lp_solver="cheby",
+                        lp_cg_iters=50, lp_adjoint_iters=30)
     b_iou, b_loss = run("parity", ds, tmp, n_iters,
+                        pretrain_checkpoint_path=ckpt,
                         episode_batch=1, compute_dtype="float32",
                         affinity_impl="topk", lp_solver="solve",
                         knn_impl="xla")

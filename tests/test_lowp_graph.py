@@ -32,10 +32,17 @@ def test_bf16_neighbour_selection_matches_f32(rng):
     assert same > 0.995, same
     # where both selected, values agree up to the a+a^T multiplicity
     # (an edge picked in both directions by one variant but one direction
-    # by the other differs by exactly 2x; the similarity itself stays f32)
+    # by the other differs by exactly 2x) times bf16-gram rounding: since
+    # round 3 the relaxed mode computes the inner product from
+    # mean-centered bf16 inputs (f32 norms), giving median ~0.1% / max
+    # ~2.5% similarity error (ops/lp.py — a RAW bf16 gram was rejected at
+    # 10-20% error).
     both = (a32 > 0) & (a16 > 0)
     ratio = a32[both] / a16[both]
-    assert np.isin(np.round(ratio, 6), [0.5, 1.0, 2.0]).all()
+    log2r = np.log2(ratio)
+    dist = np.abs(log2r[:, None] - np.array([[-1.0, 0.0, 1.0]])).min(1)
+    assert np.median(dist) < 0.02, np.median(dist)   # bulk within ~1.4%
+    assert dist.max() < 0.12, dist.max()             # tail within ~9%
 
 
 def test_bf16_selection_keeps_at_least_k(rng):
