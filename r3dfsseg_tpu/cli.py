@@ -64,7 +64,9 @@ def build_parser(eval_mode: bool = False) -> argparse.ArgumentParser:
     # mpti
     p.add_argument("--n_subprototypes", type=int, default=100)
     p.add_argument("--k_connect", type=int, default=200)
-    p.add_argument("--sigma", type=float, default=1.0)
+    p.add_argument("--sigma", type=float, default=1.0,
+                   help="gaussian affinity bandwidth; <= 0 = per-episode "
+                        "auto bandwidth (scale-invariant graph)")
     # noise
     p.add_argument("--clean_data_path", type=str, default="")
     p.add_argument("--log_dir", type=str, default="debug")
@@ -98,6 +100,8 @@ def build_parser(eval_mode: bool = False) -> argparse.ArgumentParser:
                         "0 = same as --lp_cg_iters")
     p.add_argument("--knn_impl", default="auto",
                    choices=["auto", "pallas", "xla", "approx"])
+    p.add_argument("--attn_impl", default="auto",
+                   choices=["auto", "pallas", "xla"])
     p.add_argument("--affinity_impl", default="threshold",
                    choices=["threshold", "topk"])
     p.add_argument("--compute_dtype", default="float32",
@@ -146,7 +150,7 @@ def args_to_config(args: argparse.Namespace, eval_mode: bool = False) -> R3DConf
         episode_batch=args.episode_batch, lp_solver=args.lp_solver,
         lp_cg_iters=args.lp_cg_iters,
         lp_adjoint_iters=args.lp_adjoint_iters, knn_impl=args.knn_impl,
-        affinity_impl=args.affinity_impl,
+        attn_impl=args.attn_impl, affinity_impl=args.affinity_impl,
         compute_dtype=args.compute_dtype,
         profile_dir=args.profile_dir,
         log_dir=args.log_dir if hasattr(args, "log_dir") else "debug",

@@ -64,7 +64,12 @@ class R3DConfig:
     dist_method: str = "cosine"            # ProtoNet similarity: cosine | euclidean
     n_subprototypes: int = 100
     k_connect: int = 200
-    sigma: float = 1.0
+    sigma: float = 1.0                     # gaussian affinity bandwidth
+                                           # (mpti.py:746); <= 0 = auto
+                                           # (per-episode self-tuning to the
+                                           # median k-th-neighbour distance —
+                                           # immune to the feature-scale
+                                           # collapse, see ops/lp.py)
     lp_alpha: float = 0.99                 # label propagation (models/mpti.py:758)
     contrast_weight: float = 0.1           # loss = lp + 0.1*contrast (mpti_learner.py:66)
     contrast_fps_k: int = 4                # per-shot FPS seeds for WayContrast (mpti.py:480)
@@ -110,6 +115,7 @@ class R3DConfig:
                                            # gradient-side solve, not the
                                            # forward predictions (ops/lp.py)
     knn_impl: str = "auto"                 # auto | pallas | xla | approx
+    attn_impl: str = "auto"                # auto | pallas | xla (SelfAttention)
     affinity_impl: str = "threshold"       # threshold (fast) | topk (tie parity)
     compute_dtype: str = "float32"         # float32 | bfloat16 (encoder matmuls)
     exact_grad_gather: bool = False        # exact (slower) EdgeConv gather bwd

@@ -55,6 +55,7 @@ class ProtoNet(nn.Module):
             tuple(c.dgcnn_mlp_widths), tuple(c.base_widths),
             c.output_dim, dgcnn_k=c.dgcnn_k, use_attention=c.use_attention,
             attn_dropout=c.attn_dropout, knn_impl=c.knn_impl,
+            attn_impl=c.attn_impl,
             dtype=(jnp.bfloat16 if c.compute_dtype == "bfloat16" else None),
             exact_grad_gather=c.exact_grad_gather,
             fuse_edge=c.fuse_edge,

@@ -368,6 +368,7 @@ class FeatureExtractor(nn.Module):
     use_attention: bool = True
     attn_dropout: float = 0.1
     knn_impl: str = "auto"
+    attn_impl: str = "auto"
     dtype: Any = None
     exact_grad_gather: bool = False
     fuse_edge: str = "auto"
@@ -384,7 +385,7 @@ class FeatureExtractor(nn.Module):
                             name="base_learner")(feat2, train=train)
         if self.use_attention:
             mid = SelfAttention(self.output_dim, self.attn_dropout,
-                                dtype=self.dtype,
+                                dtype=self.dtype, attn_impl=self.attn_impl,
                                 name="att_learner")(feat2, train=train)
         else:
             mid = nn.Dense(self.output_dim, use_bias=False,

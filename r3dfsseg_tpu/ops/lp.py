@@ -39,6 +39,15 @@ def local_constrained_affinity(
       node_feat: (N, C) node features (prototypes ++ query points).
       k: neighbours per node (`k_connect`).
       sigma: gaussian bandwidth (sim = exp(-0.5 * d^2 / sigma^2), mpti.py:746).
+        sigma <= 0 selects AUTO bandwidth: sigma^2 = median over valid rows
+        of the k-th-neighbour squared distance, divided by 4 (so the k-th
+        neighbour keeps weight exp(-2) at any feature scale).  The
+        reference's fixed sigma=1 has an absorbing failure mode — when
+        training grows the feature scale, every exp(-d^2/2) underflows,
+        the prototype->query coupling dies, query logits pin at 0 and the
+        LP gradient vanishes (see DESIGN.md "ln(3) state").  Auto
+        bandwidth makes the graph scale-invariant; the bandwidth is
+        stop-gradient (a pure rescale, not a learnable temperature).
       valid: optional (N,) bool; invalid (padding) nodes get zero rows/cols
         and are never selected as neighbours.
       method: 'gaussian' | 'cosine' (mpti.py:742-746).
@@ -89,15 +98,7 @@ def local_constrained_affinity(
     if valid is not None:
         sel = jnp.where(valid[None, :], sel, big)
 
-    if method == "gaussian":
-        sim_full = jnp.exp(-0.5 * sqd / (sigma * sigma))
-    elif method == "cosine":
-        norm = f32 / (jnp.linalg.norm(f32, axis=-1, keepdims=True) + 1e-12)
-        sim_full = jnp.einsum("nc,mc->nm", norm, norm,
-                              preferred_element_type=jnp.float32)
-    else:
-        raise NotImplementedError(f"unknown affinity method {method!r}")
-
+    # ---- neighbour selection (detached) + per-row k-th distance ----
     if impl == "threshold":
         if compare_dtype is not None:
             # each bisection iteration re-reads the full matrix (HBM-bound);
@@ -109,14 +110,40 @@ def local_constrained_affinity(
         else:
             sel_cmp = sel
             radius = _kth_smallest_per_row(sel, k)          # (N, 1)
-        a = jnp.where(sel_cmp <= radius, sim_full, 0.0)
+        kth = radius.astype(jnp.float32)
+        idx = None
     elif impl == "topk":
-        _, idx = jax.lax.top_k(-sel, k)                     # (N, k)
+        negv, idx = jax.lax.top_k(-sel, k)                  # (N, k)
+        kth = -negv[:, -1:]                                 # (N, 1)
+    else:
+        raise NotImplementedError(f"unknown affinity impl {impl!r}")
+
+    if method == "gaussian":
+        if sigma <= 0:
+            # auto bandwidth: sigma^2 = (median valid-row k-th sqdist) / 4
+            # (k-th neighbour weight exp(-2) at any feature scale).
+            r = kth.reshape(-1)
+            ok = valid if valid is not None else jnp.ones((n,), bool)
+            srt = jnp.sort(jnp.where(ok, r, jnp.inf))
+            nv = jnp.sum(ok.astype(jnp.int32))
+            med = srt[jnp.clip((nv - 1) // 2, 0, n - 1)]
+            sigma2 = jax.lax.stop_gradient(jnp.maximum(med / 4.0, 1e-12))
+        else:
+            sigma2 = sigma * sigma
+        sim_full = jnp.exp(-0.5 * sqd / sigma2)
+    elif method == "cosine":
+        norm = f32 / (jnp.linalg.norm(f32, axis=-1, keepdims=True) + 1e-12)
+        sim_full = jnp.einsum("nc,mc->nm", norm, norm,
+                              preferred_element_type=jnp.float32)
+    else:
+        raise NotImplementedError(f"unknown affinity method {method!r}")
+
+    if impl == "threshold":
+        a = jnp.where(sel_cmp <= radius, sim_full, 0.0)
+    else:
         sim = jnp.take_along_axis(sim_full, idx, axis=1)
         a = jnp.zeros((n, n), jnp.float32).at[
             jnp.arange(n)[:, None], idx].set(sim)
-    else:
-        raise NotImplementedError(f"unknown affinity impl {impl!r}")
 
     a = a + a.T                                      # symmetrise (mpti.py:752)
     a = jnp.where(eye, 0.0, a)                       # zero diagonal (mpti.py:754-755)

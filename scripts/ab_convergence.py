@@ -59,7 +59,14 @@ def pretrain_encoder(ds, tmp, n_iters=400):
 
 
 def main():
-    n_iters = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_iters = int(args[0]) if args else 2000
+    # --sigma0: auto-bandwidth affinity on BOTH legs.  With the reference's
+    # fixed sigma=1 the synthetic task is bistable (both legs can fall into
+    # the ln(3) graph-collapse state regardless of numerics — DESIGN.md);
+    # auto bandwidth removes the collapse mode so the A/B actually compares
+    # learning dynamics.
+    extra = {"sigma": 0.0} if "--sigma0" in sys.argv else {}
     from r3dfsseg_tpu.data.synthetic import make_synthetic_dataset
     tmp = tempfile.mkdtemp(prefix="ab_")
     ds = make_synthetic_dataset(os.path.join(tmp, "blocks"), n_scans=60,
@@ -74,12 +81,12 @@ def main():
                         pretrain_checkpoint_path=ckpt,
                         episode_batch=1, compute_dtype="bfloat16",
                         affinity_impl="threshold", lp_solver="cheby",
-                        lp_cg_iters=50, lp_adjoint_iters=30)
+                        lp_cg_iters=50, lp_adjoint_iters=30, **extra)
     b_iou, b_loss = run("parity", ds, tmp, n_iters,
                         pretrain_checkpoint_path=ckpt,
                         episode_batch=1, compute_dtype="float32",
                         affinity_impl="topk", lp_solver="solve",
-                        knn_impl="xla")
+                        knn_impl="xla", **extra)
 
     k = min(len(a_loss), len(b_loss), 50)
     print("\n==== A/B convergence (%d iters, synthetic) ====" % n_iters)

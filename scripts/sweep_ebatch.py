@@ -19,8 +19,8 @@ def run_one(ebatch: int, iters: int = 10, **cfg_kw):
     from r3dfsseg_tpu.learners import MPTILearner
     from r3dfsseg_tpu.models.episode import stack_episodes
 
-    cfg = R3DConfig(episode_batch=ebatch, lp_solver="cg", lp_cg_iters=30,
-                    compute_dtype="bfloat16", **cfg_kw)
+    cfg = R3DConfig(episode_batch=ebatch, lp_solver="cheby", lp_cg_iters=50,
+                    lp_adjoint_iters=30, compute_dtype="bfloat16", **cfg_kw)
     learner = MPTILearner(cfg)
     rng = np.random.default_rng(0)
     eps = [_example_episode(cfg, rng) for _ in range(ebatch)]

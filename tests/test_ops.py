@@ -176,6 +176,35 @@ def test_affinity_masks_invalid_nodes(rng):
     assert (got[17:] == 0).all() and (got[:, 17:] == 0).all()
 
 
+def test_affinity_auto_sigma_scale_invariant(rng):
+    """sigma<=0 self-tunes the bandwidth to the median k-th-neighbour
+    distance: scaling the features must leave the graph (weights AND
+    selection) unchanged, where fixed sigma=1 underflows to a dead graph
+    (the ln(3) collapse mode, DESIGN.md)."""
+    x = rng.normal(size=(40, 8)).astype(np.float32)
+    a1 = np.asarray(local_constrained_affinity(jnp.asarray(x), k=6, sigma=0.0))
+    a2 = np.asarray(local_constrained_affinity(jnp.asarray(30.0 * x), k=6,
+                                               sigma=0.0))
+    np.testing.assert_allclose(a1, a2, rtol=1e-3, atol=1e-5)
+    # fixed sigma at the same scale: graph numerically dead
+    dead = np.asarray(local_constrained_affinity(jnp.asarray(30.0 * x), k=6,
+                                                 sigma=1.0))
+    assert dead.max() < 1e-12 and a1.max() > 0.01
+    # k-th neighbour keeps weight ~exp(-2) by construction
+    nz = a1[a1 > 0]
+    assert nz.min() > 1e-4
+
+
+def test_affinity_auto_sigma_respects_valid_mask(rng):
+    x = rng.normal(size=(30, 6)).astype(np.float32)
+    x[20:] *= 1e3          # junk rows must not poison the median
+    valid = np.ones(30, bool); valid[20:] = False
+    a = np.asarray(local_constrained_affinity(
+        jnp.asarray(x), k=5, sigma=-1.0, valid=jnp.asarray(valid)))
+    assert (a[20:] == 0).all() and (a[:, 20:] == 0).all()
+    assert a.max() > 0.01
+
+
 # ------------------------------------------------------------------ lp ----
 def _lp_oracle(a, y, alpha=0.99):
     """Transliteration of label_propagate (mpti.py:758-776)."""
