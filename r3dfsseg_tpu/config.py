@@ -118,6 +118,11 @@ class R3DConfig:
     attn_impl: str = "auto"                # auto | pallas | xla (SelfAttention)
     affinity_impl: str = "threshold"       # threshold (fast) | topk (tie parity)
     compute_dtype: str = "float32"         # float32 | bfloat16 (encoder matmuls)
+    graph_dtype: str = "auto"              # auto | float32 | bfloat16 — the
+                                           # affinity/LP graph's relaxed-
+                                           # precision paths (neighbour
+                                           # compare, gram, solver matvec).
+                                           # 'auto' follows compute_dtype.
     exact_grad_gather: bool = False        # exact (slower) EdgeConv gather bwd
                                            # instead of the bf16 Pallas scatter
     fuse_edge: str = "auto"                # EdgeConv tail: 'on' = fused

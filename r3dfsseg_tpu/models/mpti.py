@@ -366,8 +366,10 @@ def _mpti_core(
     # ---- affinity + label propagation (mpti.py:511-512,717-776) ----
     # bf16 mode extends the relaxed-precision contract to the graph's
     # bandwidth-bound passes: neighbour selection compares bf16 distances
-    # and the CG matvec reads a bf16 copy of S (accuracy A/B in BASELINE.md)
-    lowp = jnp.bfloat16 if c.compute_dtype == "bfloat16" else None
+    # and the CG matvec reads a bf16 copy of S (accuracy A/B in BASELINE.md).
+    # graph_dtype can pin the graph to f32 independently of the encoder.
+    gd = c.compute_dtype if c.graph_dtype == "auto" else c.graph_dtype
+    lowp = jnp.bfloat16 if gd == "bfloat16" else None
     a = local_constrained_affinity(node_feat, c.k_connect, c.sigma,
                                    valid=node_valid, impl=c.affinity_impl,
                                    compare_dtype=lowp)

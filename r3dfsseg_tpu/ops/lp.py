@@ -22,6 +22,10 @@ from r3dfsseg_tpu.ops.knn import pairwise_sqdist
 
 Array = jax.Array
 
+# self/invalid exclusion sentinel — see the comment at its use site in
+# local_constrained_affinity for why this must NOT be near f32/bf16 max
+_BIG = 1e30
+
 
 def local_constrained_affinity(
     node_feat: Array,
@@ -91,7 +95,18 @@ def local_constrained_affinity(
         sqd = jnp.maximum(xx - 2.0 * inner + xx.T, 0.0)
     else:
         sqd = pairwise_sqdist(f32)
-    big = jnp.asarray(3.4e38, jnp.float32)
+    # Exclusion sentinel for self/invalid entries.  MUST be exactly
+    # representable and far inside range in BOTH f32 and the optional bf16
+    # compare dtype: the old 3.4e38 sat at the very edge of bf16 (max
+    # finite 3.3895e38), and XLA's constant-folded f32->bf16 convert
+    # rounded it to max-finite while the eager runtime convert rounded it
+    # to inf — under jit the `d >= sentinel` masks then never fired, the
+    # k-th-distance bisection started from hi~3.4e38 and returned garbage
+    # radii, auto-bandwidth blew up to sigma2=inf, and the affinity
+    # saturated to the uniform complete graph (lp_loss pinned at ln(3)
+    # from step 1 of every bf16-graph training run).  1e30 dwarfs any real
+    # squared feature distance (~1e4) and converts safely.
+    big = jnp.asarray(_BIG, jnp.float32)
     eye = jnp.eye(n, dtype=bool)
     sel = jax.lax.stop_gradient(sqd)
     sel = jnp.where(eye, big, sel)                  # drop self (mpti.py:736)
@@ -159,7 +174,7 @@ def _kth_smallest_per_row(d: Array, k: int, iters: int = 32) -> Array:
     matrix — bandwidth-bound, no sort.  Returns (N, 1), the smallest
     per-row radius t with |{j : d_ij <= t}| >= k (up to f32 bisection
     resolution, biased upward so at least k neighbours survive)."""
-    finite = jnp.where(d >= 3.4e38, -jnp.inf, d)
+    finite = jnp.where(d >= 0.5 * _BIG, -jnp.inf, d)
     lo = jnp.zeros((d.shape[0], 1), jnp.float32)
     hi = jnp.full((d.shape[0], 1), 1.0, jnp.float32) * jnp.maximum(
         jnp.max(jnp.where(jnp.isfinite(finite), finite, 0.0)), 1e-6)

@@ -33,6 +33,24 @@ LEGS = {
     "opt-knnxla": dict(compute_dtype="bfloat16", affinity_impl="threshold",
                        lp_solver="cheby", lp_cg_iters=50,
                        lp_adjoint_iters=30, knn_impl="xla"),
+    # bf16 sub-bisect: the f32 leg is healthy on TPU, both bf16 legs
+    # collapse regardless of kNN impl -> isolate the bf16-only paths
+    "opt-attnxla": dict(compute_dtype="bfloat16", affinity_impl="threshold",
+                        lp_solver="cheby", lp_cg_iters=50,
+                        lp_adjoint_iters=30, attn_impl="xla"),
+    # final split: threshold-in-bf16 vs cheby's bf16 matvec storage
+    "bf16-thr-solve": dict(compute_dtype="bfloat16",
+                           affinity_impl="threshold", lp_solver="solve"),
+    "bf16-topk-cheby": dict(compute_dtype="bfloat16", affinity_impl="topk",
+                            lp_solver="cheby", lp_cg_iters=50),
+    # dtype split: which half of bf16 (encoder features vs graph numerics)
+    # pins lp_loss at ln(3) from iter 1?
+    "bf16enc-f32graph": dict(compute_dtype="bfloat16", graph_dtype="float32",
+                             affinity_impl="threshold", lp_solver="cheby",
+                             lp_cg_iters=50, lp_adjoint_iters=30),
+    "f32enc-bf16graph": dict(compute_dtype="float32", graph_dtype="bfloat16",
+                             affinity_impl="threshold", lp_solver="cheby",
+                             lp_cg_iters=50, lp_adjoint_iters=30),
 }
 
 

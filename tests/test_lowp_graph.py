@@ -119,3 +119,37 @@ def test_packed_knn_tie_break_lowest_index():
     for i in range(16):
         assert got[0, i].tolist() == ([0, 1, 2, 3] if i < 8 else
                                       [8, 9, 10, 11]), (i, got[0, i])
+
+
+def test_bf16_jit_auto_bandwidth_does_not_saturate(rng):
+    """Regression: the self/invalid sentinel used to be 3.4e38 — at the
+    edge of bf16 representability.  XLA's constant-folded f32->bf16
+    convert rounds such a value differently (max-finite) than the eager
+    runtime convert (inf), so under whole-program jit the sentinel masks
+    in _kth_smallest_per_row never fired: the bisection returned garbage
+    radii, auto-bandwidth (sigma<=0) blew up to sigma2=inf, the affinity
+    saturated to the uniform COMPLETE graph and lp_loss pinned at ln(3)
+    from step 1 of every bf16-graph training run.  Pin the contract under
+    jit: near-k row degrees, finite values, close to the eager result."""
+    n, k = 256, 24
+    nf = jnp.asarray(rng.normal(size=(n, 32)).astype(np.float32))
+    valid = jnp.ones((n,), bool).at[-10:].set(False)
+
+    def build(x):
+        return local_constrained_affinity(x, k, 0.0, valid=valid,
+                                          impl="threshold",
+                                          compare_dtype=jnp.bfloat16)
+
+    a_jit = np.asarray(jax.jit(build)(nf))
+    a_eager = np.asarray(build(nf))
+    assert np.isfinite(a_jit).all()
+    deg = np.count_nonzero(a_jit, axis=1)[:-10]
+    # threshold selection admits bf16-resolution ties (plentiful on
+    # concentrated gaussian distances at this scale) and symmetrisation
+    # adds more — but nothing near the COMPLETE graph, which is the
+    # failure signature (deg = n - 11 for every row)
+    assert deg.min() >= k, deg.min()
+    assert deg.max() <= int(0.7 * n), deg.max()
+    # k-th neighbour keeps weight ~exp(-2) under auto bandwidth
+    assert a_jit[a_jit > 0].min() > 1e-4
+    np.testing.assert_allclose(a_jit, a_eager, atol=1e-5)
