@@ -106,6 +106,19 @@ def build_parser(eval_mode: bool = False) -> argparse.ArgumentParser:
                    choices=["threshold", "topk"])
     p.add_argument("--compute_dtype", default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--graph_dtype", default="auto",
+                   choices=["auto", "float32", "bfloat16"],
+                   help="affinity/LP graph precision; auto follows "
+                        "--compute_dtype")
+    p.add_argument("--attn_f32", action="store_true",
+                   help="keep attention matmuls f32 even in bf16 mode")
+    p.add_argument("--bn_mode", default="exact",
+                   choices=["exact", "stats", "relaxed"],
+                   help="BatchNorm precision in bf16 mode: exact = f32 "
+                        "two-pass stats + f32 outputs (default — bf16 "
+                        "fast-var BN loses ~0.1 mean-IoU in meta-training "
+                        "A/Bs); stats = f32 stats, bf16 outputs; relaxed = "
+                        "bf16 fast-var (bandwidth benchmarks only)")
     p.add_argument("--profile_dir", type=str, default=None)
     return p
 
@@ -152,6 +165,9 @@ def args_to_config(args: argparse.Namespace, eval_mode: bool = False) -> R3DConf
         lp_adjoint_iters=args.lp_adjoint_iters, knn_impl=args.knn_impl,
         attn_impl=args.attn_impl, affinity_impl=args.affinity_impl,
         compute_dtype=args.compute_dtype,
+        graph_dtype=getattr(args, "graph_dtype", "auto"),
+        attn_f32=getattr(args, "attn_f32", False),
+        bn_mode=getattr(args, "bn_mode", "exact"),
         profile_dir=args.profile_dir,
         log_dir=args.log_dir if hasattr(args, "log_dir") else "debug",
     )

@@ -123,6 +123,18 @@ class R3DConfig:
                                            # precision paths (neighbour
                                            # compare, gram, solver matvec).
                                            # 'auto' follows compute_dtype.
+    attn_f32: bool = False                 # keep SelfAttention score/value
+                                           # matmuls f32 even in bf16 mode
+                                           # (accuracy knob)
+    bn_mode: str = "exact"                 # BatchNorm precision in bf16
+                                           # mode: 'exact' = f32 two-pass
+                                           # stats + f32 outputs (DEFAULT:
+                                           # bf16 fast-var BN loses ~0.1
+                                           # mean-IoU in meta-training A/Bs,
+                                           # BASELINE.md); 'stats' = f32
+                                           # two-pass stats, bf16 outputs;
+                                           # 'relaxed' = bf16 fast-var
+                                           # (bandwidth benchmarks only).
     exact_grad_gather: bool = False        # exact (slower) EdgeConv gather bwd
                                            # instead of the bf16 Pallas scatter
     fuse_edge: str = "auto"                # EdgeConv tail: 'on' = fused

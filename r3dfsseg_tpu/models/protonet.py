@@ -59,6 +59,7 @@ class ProtoNet(nn.Module):
             dtype=(jnp.bfloat16 if c.compute_dtype == "bfloat16" else None),
             exact_grad_gather=c.exact_grad_gather,
             fuse_edge=c.fuse_edge,
+            attn_f32=c.attn_f32, bn_mode=c.bn_mode,
             name="features")
         if self.with_contrast:
             self.proj = nn.Dense(c.proj_dim, name="proj")

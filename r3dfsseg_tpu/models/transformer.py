@@ -168,6 +168,7 @@ class ProtoNetTransformer(nn.Module):
             dtype=(jnp.bfloat16 if c.compute_dtype == "bfloat16" else None),
             exact_grad_gather=c.exact_grad_gather,
             fuse_edge=c.fuse_edge,
+            attn_f32=c.attn_f32, bn_mode=c.bn_mode,
             name="features")
         # orthogonal-initialised in/out projections, out starts as a copy of
         # in (protonet.py:1134-1139) — both params draw the same matrix from

@@ -42,6 +42,9 @@ class ConvBN(nn.Module):
     relu: bool = True
     negative_slope: float = 0.2
     dtype: Any = None          # compute dtype (bf16 keeps params/BN in f32)
+    # BN precision in bf16 mode: 'exact' = f32 two-pass stats + f32 output;
+    # 'stats' = f32 two-pass stats, bf16 output; 'relaxed' = bf16 fast-var
+    bn_mode: str = "exact"
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -54,11 +57,15 @@ class ConvBN(nn.Module):
         # dtype=self.dtype keeps the normalised activations in bf16 in
         # bf16 mode (halves the tensor bandwidth); flax always computes the
         # batch statistics in f32 (force_float32_reductions), so BN running
-        # stats stay accurate
+        # stats stay accurate.  bn_mode opts the BN (only) back into the
+        # f32 two-pass path as an accuracy escape hatch (BASELINE.md A/B:
+        # bf16 fast-var BN loses ~0.1 mean-IoU in meta-training).
+        bn_dtype = jnp.float32 if self.bn_mode == "exact" else self.dtype
         x = nn.BatchNorm(
             use_running_average=not train,
-            momentum=0.9, epsilon=1e-5, name="bn", dtype=self.dtype,
-            use_fast_variance=self.dtype is not None,
+            momentum=0.9, epsilon=1e-5, name="bn", dtype=bn_dtype,
+            use_fast_variance=(self.dtype is not None
+                               and self.bn_mode == "relaxed"),
         )(x)
         if self.relu:
             x = nn.leaky_relu(x, self.negative_slope)
@@ -160,6 +167,7 @@ class EdgeConv(nn.Module):
     dtype: Any = None
     exact_grad_gather: bool = False
     fuse_edge: str = "auto"
+    bn_mode: str = "exact"
 
     def _knn(self, x: Array) -> Array:
         impl = self.knn_impl
@@ -186,9 +194,11 @@ class EdgeConv(nn.Module):
             return self._fused(x, idx, train)
         e = _EdgeFirstLayer(self.widths[0], dtype=self.dtype,
                             exact_grad=self.exact_grad_gather,
+                            bn_mode=self.bn_mode,
                             name="layer0")(x, idx, train=train)
         for i, w in enumerate(self.widths[1:], start=1):
-            e = ConvBN(w, dtype=self.dtype, name=f"layer{i}")(e, train=train)
+            e = ConvBN(w, dtype=self.dtype, bn_mode=self.bn_mode,
+                       name=f"layer{i}")(e, train=train)
         return jnp.max(e, axis=2)                             # max over K
 
     def _fused(self, x: Array, idx: Array, train: bool) -> Array:
@@ -234,6 +244,7 @@ class _EdgeFirstLayer(nn.Module):
     dtype: Any = None
     negative_slope: float = 0.2
     exact_grad: bool = False
+    bn_mode: str = "exact"
 
     @nn.compact
     def __call__(self, x: Array, idx: Array, train: bool = False) -> Array:
@@ -245,8 +256,11 @@ class _EdgeFirstLayer(nn.Module):
         from r3dfsseg_tpu.ops.fast_gather import gather_neighbors_fast
         e = gather_neighbors_fast(a, idx, self.exact_grad) + b[:, :, None, :]
         e = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype,
-                         use_fast_variance=self.dtype is not None,
+                         epsilon=1e-5,
+                         dtype=(jnp.float32 if self.bn_mode == "exact"
+                                else self.dtype),
+                         use_fast_variance=(self.dtype is not None
+                                            and self.bn_mode == "relaxed"),
                          name="bn")(e)
         return nn.leaky_relu(e, self.negative_slope)
 
@@ -265,6 +279,7 @@ class DGCNN(nn.Module):
     dtype: Any = None
     exact_grad_gather: bool = False
     fuse_edge: str = "auto"
+    bn_mode: str = "exact"
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False):
@@ -275,11 +290,13 @@ class DGCNN(nn.Module):
                          dtype=self.dtype,
                          exact_grad_gather=self.exact_grad_gather,
                          fuse_edge=self.fuse_edge,
+                         bn_mode=self.bn_mode,
                          name=f"edgeconv{i}")(h, train=train)
             outs.append(h)
         h = jnp.concatenate(outs, axis=-1)
         for i, w in enumerate(self.mlp_widths):
-            h = ConvBN(w, dtype=self.dtype, name=f"mlp{i}")(h, train=train)
+            h = ConvBN(w, dtype=self.dtype, bn_mode=self.bn_mode,
+                       name=f"mlp{i}")(h, train=train)
         if self.return_edgeconvs:
             return outs, h
         return outs[0], h
@@ -290,12 +307,14 @@ class BaseLearner(nn.Module):
     (mpti.py:18-40)."""
     widths: Tuple[int, ...] = (128, 64)
     dtype: Any = None
+    bn_mode: str = "exact"
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         n = len(self.widths)
         for i, w in enumerate(self.widths):
             x = ConvBN(w, use_bias=True, relu=False, dtype=self.dtype,
+                       bn_mode=self.bn_mode,
                        name=f"conv{i}")(x, train=train)
             if i != n - 1:
                 x = nn.relu(x)
@@ -312,6 +331,7 @@ class SelfAttention(nn.Module):
     attn_dropout: float = 0.1
     dtype: Any = None
     attn_impl: str = "auto"    # auto | pallas | xla
+    score_f32: bool = False    # keep attention matmuls f32 in bf16 mode
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -336,7 +356,7 @@ class SelfAttention(nn.Module):
                     dtype=jnp.int32)
             else:
                 seed = jnp.int32(0)
-            if self.dtype == jnp.bfloat16:
+            if self.dtype == jnp.bfloat16 and not self.score_f32:
                 q, k, v = (t.astype(jnp.bfloat16) for t in (q, k, v))
             else:
                 q, k, v = (t.astype(jnp.float32) for t in (q, k, v))
@@ -344,13 +364,17 @@ class SelfAttention(nn.Module):
                 q, k, v, seed, float(d) ** 0.5, self.attn_dropout, train)
             return y.astype(x.dtype)
 
+        if self.score_f32:
+            q, k, v = (t.astype(jnp.float32) for t in (q, k, v))
+        prec = jax.lax.Precision.HIGHEST if self.score_f32 else None
         attn = jnp.einsum("bnd,bmd->bnm", q / jnp.sqrt(d).astype(q.dtype), k,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32, precision=prec)
         attn = jax.nn.softmax(attn, axis=-1)
         attn = nn.Dropout(self.attn_dropout, deterministic=not train,
                           name="dropout")(attn)
         return jnp.einsum("bnm,bmd->bnd", attn.astype(v.dtype), v,
-                          preferred_element_type=jnp.float32).astype(x.dtype)
+                          preferred_element_type=jnp.float32,
+                          precision=prec).astype(x.dtype)
 
 
 class FeatureExtractor(nn.Module):
@@ -372,6 +396,8 @@ class FeatureExtractor(nn.Module):
     dtype: Any = None
     exact_grad_gather: bool = False
     fuse_edge: str = "auto"
+    attn_f32: bool = False
+    bn_mode: str = "exact"
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -379,13 +405,16 @@ class FeatureExtractor(nn.Module):
             self.edgeconv_widths, self.dgcnn_mlp_widths, k=self.dgcnn_k,
             knn_impl=self.knn_impl, dtype=self.dtype,
             exact_grad_gather=self.exact_grad_gather,
-            fuse_edge=self.fuse_edge, name="encoder",
+            fuse_edge=self.fuse_edge, bn_mode=self.bn_mode,
+            name="encoder",
         )(x, train=train)
         feat3 = BaseLearner(self.base_widths, dtype=self.dtype,
+                            bn_mode=self.bn_mode,
                             name="base_learner")(feat2, train=train)
         if self.use_attention:
             mid = SelfAttention(self.output_dim, self.attn_dropout,
                                 dtype=self.dtype, attn_impl=self.attn_impl,
+                                score_f32=self.attn_f32,
                                 name="att_learner")(feat2, train=train)
         else:
             mid = nn.Dense(self.output_dim, use_bias=False,

@@ -30,7 +30,7 @@ def run(tag, ds, tmp, n_iters, **kw):
         dataset="s3dis", cvfold=0, clean_data_path=ds,
         n_way=2, k_shot=5, n_queries=1, pc_npts=2048, use_attention=True,
         n_iters=n_iters, eval_interval=max(n_iters // 2, 1),
-        n_episode_test=2, n_workers=4, seed=123,
+        n_episode_test=2, n_workers=4, seed=kw.pop("seed", 123),
         train_noise_ratio=(0.0, 0.2, 0.4),
         log_dir=os.path.join(tmp, tag), save_path=tmp, **kw)
     train(cfg)
