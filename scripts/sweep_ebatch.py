@@ -33,9 +33,9 @@ def run_one(ebatch: int, iters: int = 10, **cfg_kw):
     rates = []
     for _ in range(3):
         t0 = time.perf_counter()
-        for _ in range(iters):
-            m = learner.train(batch)
-            float(m["loss"])
+        for _ in range(iters):    # chained: ONE host sync per window so the
+            m = learner.train(batch)   # ~30 ms tunnel latency amortises
+        float(m["loss"])
         rates.append(ebatch * iters / (time.perf_counter() - t0))
     return sorted(rates)[1]
 
