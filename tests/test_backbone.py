@@ -173,3 +173,33 @@ def test_train_mode_bn_running_stats_match_torch(pair, rng):
     # the biased one; with B*N*K samples the correction is ~1/(B*N*K).
     n = 4 * NPTS * K
     np.testing.assert_allclose(got_v * n / (n - 1), want_v, rtol=2e-3, atol=1e-5)
+
+
+def test_bn_mode_precision_contract():
+    """bn_mode pins the BatchNorm precision independently of the encoder
+    compute dtype (BASELINE.md A/B: bf16 BN outputs cost ~0.1 mean-IoU, so
+    'exact' must stay the default)."""
+    import jax
+    import jax.numpy as jnp
+    from r3dfsseg_tpu.config import R3DConfig
+    from r3dfsseg_tpu.nn.dgcnn import ConvBN
+
+    assert R3DConfig().bn_mode == "exact"
+
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(2, 16, 8)).astype(np.float32))
+    outs = {}
+    for mode in ("exact", "stats", "relaxed"):
+        m = ConvBN(4, dtype=jnp.bfloat16, bn_mode=mode)
+        v = m.init(jax.random.PRNGKey(0), x, train=True)
+        y = m.apply(v, x, train=True, mutable=["batch_stats"])[0]
+        outs[mode] = np.asarray(y, np.float32)
+        # exact mode emits f32 activations; the relaxed modes emit bf16
+        assert y.dtype == (jnp.float32 if mode == "exact" else jnp.bfloat16)
+    # identical parameters: outputs agree up to bf16 rounding, and the
+    # bf16 modes are exactly representable in bf16
+    np.testing.assert_allclose(outs["exact"], outs["stats"],
+                               rtol=2e-2, atol=2e-2)
+    b16 = outs["stats"].astype(np.float32)
+    assert (b16 == np.asarray(jnp.asarray(b16, jnp.bfloat16),
+                              np.float32)).all()
