@@ -131,9 +131,13 @@ def model_flops_per_episode(cfg) -> float:
 def main():
     from r3dfsseg_tpu.config import R3DConfig
 
+    # bn_mode=fastvar: f32 single-pass BN statistics + f32 outputs — saves
+    # one full-tensor read per BN vs the exact two-pass default and passed
+    # the sigma-0 convergence A/B within the parity seed spread
+    # (BASELINE.md round-2 table: 0.268 vs 0.277 @2k iters).
     opt_cfg = R3DConfig(episode_batch=EBATCH, lp_solver="cheby",
                         lp_cg_iters=50, lp_adjoint_iters=30,
-                        compute_dtype="bfloat16")
+                        compute_dtype="bfloat16", bn_mode="fastvar")
     train_eps = measure_train(opt_cfg, EBATCH)
     eval_eps = measure_eval(opt_cfg, EBATCH)
 

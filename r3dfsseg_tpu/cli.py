@@ -113,12 +113,16 @@ def build_parser(eval_mode: bool = False) -> argparse.ArgumentParser:
     p.add_argument("--attn_f32", action="store_true",
                    help="keep attention matmuls f32 even in bf16 mode")
     p.add_argument("--bn_mode", default="exact",
-                   choices=["exact", "stats", "relaxed"],
+                   choices=["exact", "fastvar", "hybrid", "stats", "relaxed"],
                    help="BatchNorm precision in bf16 mode: exact = f32 "
                         "two-pass stats + f32 outputs (default — bf16 "
                         "fast-var BN loses ~0.1 mean-IoU in meta-training "
-                        "A/Bs); stats = f32 stats, bf16 outputs; relaxed = "
-                        "bf16 fast-var (bandwidth benchmarks only)")
+                        "A/Bs); fastvar = f32 single-pass stats + f32 "
+                        "outputs; hybrid = f32 outputs only for the BNs "
+                        "that feed the 192-d embedding directly, relaxed "
+                        "elsewhere; stats = f32 stats, bf16 outputs; "
+                        "relaxed = bf16 fast-var (bandwidth benchmarks "
+                        "only)")
     p.add_argument("--profile_dir", type=str, default=None)
     return p
 

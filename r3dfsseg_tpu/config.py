@@ -131,7 +131,13 @@ class R3DConfig:
                                            # stats + f32 outputs (DEFAULT:
                                            # bf16 fast-var BN loses ~0.1
                                            # mean-IoU in meta-training A/Bs,
-                                           # BASELINE.md); 'stats' = f32
+                                           # BASELINE.md); 'fastvar' = f32
+                                           # single-pass stats + f32 out;
+                                           # 'hybrid' = f32 outputs only for
+                                           # the embedding-feeding BNs
+                                           # (edgeconv0 last layer + final
+                                           # MLP/BaseLearner), relaxed
+                                           # elsewhere; 'stats' = f32
                                            # two-pass stats, bf16 outputs;
                                            # 'relaxed' = bf16 fast-var
                                            # (bandwidth benchmarks only).

@@ -102,23 +102,40 @@ def sample_scan(
     partial_noise: bool = False,
     pc_augm: bool = False,
     pc_augm_config: Optional[Dict] = None,
+    use_label_noise: bool = False,
+    noise_in_fold: int = -1,
     rng: Optional[np.random.Generator] = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Sample one scan into a (num_point, attrs) cloud + labels.
 
     Returns (ptcloud, label, gt_label, cluster_label) mirroring
     sample_pointcloud_universal's return (loader.py:351).
+
+    ``use_label_noise`` selects a pre-annotated noisy-label column instead
+    of the clean column 6 for both stratified selection and the returned
+    label (loader.py:174-181,222-229: fold 0 -> column 7, fold 1 -> column
+    8); the diagnostic gt label always reads the clean column.  The
+    reference never enables this branch from any live entry point, but it
+    is part of the sampler's public surface.
     """
     rng = rng or np.random.default_rng()
     sampled_classes = list(sampled_classes)
     data = load_scan(data_path, scan_name)
     n = data.shape[0]
 
+    if use_label_noise:
+        if noise_in_fold not in (0, 1):
+            raise ValueError("use_label_noise requires noise_in_fold in "
+                             "{0, 1} (loader.py:149-150)")
+        label_col = 7 + noise_in_fold
+    else:
+        label_col = 6
+
     # ---- stratified point selection (loader.py:156-192) ----
     if random_sample or partial_noise:
         idx = rng.choice(n, num_point, replace=(n < num_point))
     else:
-        valid = np.nonzero(data[:, 6] == sampled_class)[0]
+        valid = np.nonzero(data[:, label_col] == sampled_class)[0]
         if n < num_point:
             n_valid = len(valid)
         else:
@@ -128,9 +145,11 @@ def sample_scan(
         idx = np.concatenate([pick_valid, pick_other])
 
     # ---- native fast path: one C pass over the selected rows ----
-    # (partial noise needs data-dependent object loops -> numpy path)
+    # (partial noise needs data-dependent object loops, and the noisy-label
+    # column swap is a cold path -> numpy)
     from r3dfsseg_tpu import native
-    if native.assemble_scan is not None and not partial_noise:
+    if (native.assemble_scan is not None and not partial_noise
+            and not use_label_noise):
         return _assemble_native(
             data, idx.astype(np.int64), num_point, pc_attribs,
             sampled_class, sampled_classes, support,
@@ -155,8 +174,8 @@ def sample_scan(
         parts.append(rel / np.amax(rel, axis=0))
     ptcloud = np.concatenate(parts, axis=1).astype(np.float32)
 
-    # ---- labels (loader.py:222-237) ----
-    labels = data[:, 6].astype(np.int64)
+    # ---- labels (loader.py:222-237; noisy fold column when enabled) ----
+    labels = data[:, label_col].astype(np.int64)
     if support:
         gt = labels == sampled_class
     else:
@@ -254,13 +273,16 @@ def _assemble_native(data, idx, num_point, pc_attribs, sampled_class,
 def sample_k_scans(data_path, num_point, pc_attribs, scan_names, *,
                    sampled_class, sampled_classes, is_support,
                    partial_noise=False, pc_augm=False, pc_augm_config=None,
+                   use_label_noise=False, noise_in_fold=-1,
                    rng=None):
     """Stack K scans (loader.py:19-56)."""
     outs = [
         sample_scan(data_path, s, num_point, pc_attribs,
                     sampled_classes=sampled_classes, sampled_class=sampled_class,
                     support=is_support, partial_noise=partial_noise,
-                    pc_augm=pc_augm, pc_augm_config=pc_augm_config, rng=rng)
+                    pc_augm=pc_augm, pc_augm_config=pc_augm_config,
+                    use_label_noise=use_label_noise,
+                    noise_in_fold=noise_in_fold, rng=rng)
         for s in scan_names
     ]
     pt, lb, gt, cl = zip(*outs)

@@ -19,7 +19,7 @@ see `r3dfsseg_tpu.utils.torch_convert`.
 """
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -43,7 +43,10 @@ class ConvBN(nn.Module):
     negative_slope: float = 0.2
     dtype: Any = None          # compute dtype (bf16 keeps params/BN in f32)
     # BN precision in bf16 mode: 'exact' = f32 two-pass stats + f32 output;
-    # 'stats' = f32 two-pass stats, bf16 output; 'relaxed' = bf16 fast-var
+    # 'fastvar' = f32 single-pass stats + f32 output (saves one full-tensor
+    # read); 'stats' = f32 two-pass stats, bf16 output; 'relaxed' = bf16
+    # fast-var.  ('hybrid' is resolved per-layer by DGCNN/BaseLearner and
+    # never reaches this module.)
     bn_mode: str = "exact"
 
     @nn.compact
@@ -60,12 +63,13 @@ class ConvBN(nn.Module):
         # stats stay accurate.  bn_mode opts the BN (only) back into the
         # f32 two-pass path as an accuracy escape hatch (BASELINE.md A/B:
         # bf16 fast-var BN loses ~0.1 mean-IoU in meta-training).
-        bn_dtype = jnp.float32 if self.bn_mode == "exact" else self.dtype
+        bn_dtype = (jnp.float32 if self.bn_mode in ("exact", "fastvar")
+                    else self.dtype)
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9, epsilon=1e-5, name="bn", dtype=bn_dtype,
             use_fast_variance=(self.dtype is not None
-                               and self.bn_mode == "relaxed"),
+                               and self.bn_mode in ("relaxed", "fastvar")),
         )(x)
         if self.relu:
             x = nn.leaky_relu(x, self.negative_slope)
@@ -168,6 +172,9 @@ class EdgeConv(nn.Module):
     exact_grad_gather: bool = False
     fuse_edge: str = "auto"
     bn_mode: str = "exact"
+    # Per-layer override (len == len(widths)); DGCNN uses it to resolve the
+    # 'hybrid' mode.  None -> bn_mode for every layer.
+    bn_modes: Optional[Tuple[str, ...]] = None
 
     def _knn(self, x: Array) -> Array:
         impl = self.knn_impl
@@ -192,12 +199,13 @@ class EdgeConv(nn.Module):
         idx = self._knn(jax.lax.stop_gradient(x))             # (B, N, K)
         if self._use_fused():
             return self._fused(x, idx, train)
+        modes = self.bn_modes or (self.bn_mode,) * len(self.widths)
         e = _EdgeFirstLayer(self.widths[0], dtype=self.dtype,
                             exact_grad=self.exact_grad_gather,
-                            bn_mode=self.bn_mode,
+                            bn_mode=modes[0],
                             name="layer0")(x, idx, train=train)
         for i, w in enumerate(self.widths[1:], start=1):
-            e = ConvBN(w, dtype=self.dtype, bn_mode=self.bn_mode,
+            e = ConvBN(w, dtype=self.dtype, bn_mode=modes[i],
                        name=f"layer{i}")(e, train=train)
         return jnp.max(e, axis=2)                             # max over K
 
@@ -257,10 +265,12 @@ class _EdgeFirstLayer(nn.Module):
         e = gather_neighbors_fast(a, idx, self.exact_grad) + b[:, :, None, :]
         e = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5,
-                         dtype=(jnp.float32 if self.bn_mode == "exact"
+                         dtype=(jnp.float32
+                                if self.bn_mode in ("exact", "fastvar")
                                 else self.dtype),
                          use_fast_variance=(self.dtype is not None
-                                            and self.bn_mode == "relaxed"),
+                                            and self.bn_mode in
+                                            ("relaxed", "fastvar")),
                          name="bn")(e)
         return nn.leaky_relu(e, self.negative_slope)
 
@@ -283,19 +293,40 @@ class DGCNN(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False):
+        hybrid = self.bn_mode == "hybrid"
         outs = []
         h = x
         for i, widths in enumerate(self.edgeconv_widths):
+            # 'hybrid' (BASELINE.md A/B): only BN outputs that feed the
+            # 192-d episode embedding *without* being renormalised
+            # downstream need f32 — that is edgeconv0's last layer (the
+            # level-1 features, mpti.py:68,589).  Every other edge BN
+            # output goes through another conv+BN (or the concat->mlp BN),
+            # which renormalises away the bf16 quantisation, so those run
+            # in the cheap relaxed mode.
+            if hybrid:
+                last = "exact" if i == 0 else "relaxed"
+                modes = ("relaxed",) * (len(widths) - 1) + (last,)
+            else:
+                modes = None
             h = EdgeConv(tuple(widths), k=self.k, knn_impl=self.knn_impl,
                          dtype=self.dtype,
                          exact_grad_gather=self.exact_grad_gather,
                          fuse_edge=self.fuse_edge,
-                         bn_mode=self.bn_mode,
+                         bn_mode="relaxed" if hybrid else self.bn_mode,
+                         bn_modes=modes,
                          name=f"edgeconv{i}")(h, train=train)
             outs.append(h)
         h = jnp.concatenate(outs, axis=-1)
         for i, w in enumerate(self.mlp_widths):
-            h = ConvBN(w, dtype=self.dtype, bn_mode=self.bn_mode,
+            if hybrid:
+                # the final MLP output feeds attention / BaseLearner whose
+                # own outputs join the embedding; keep it f32 (single-pass
+                # stats suffice — only the output quantisation was harmful)
+                mode = "fastvar" if i == len(self.mlp_widths) - 1 else "relaxed"
+            else:
+                mode = self.bn_mode
+            h = ConvBN(w, dtype=self.dtype, bn_mode=mode,
                        name=f"mlp{i}")(h, train=train)
         if self.return_edgeconvs:
             return outs, h
@@ -313,8 +344,13 @@ class BaseLearner(nn.Module):
     def __call__(self, x: Array, train: bool = False) -> Array:
         n = len(self.widths)
         for i, w in enumerate(self.widths):
+            if self.bn_mode == "hybrid":
+                # final layer feeds the 192-d embedding directly -> f32 out
+                mode = "fastvar" if i == n - 1 else "relaxed"
+            else:
+                mode = self.bn_mode
             x = ConvBN(w, use_bias=True, relu=False, dtype=self.dtype,
-                       bn_mode=self.bn_mode,
+                       bn_mode=mode,
                        name=f"conv{i}")(x, train=train)
             if i != n - 1:
                 x = nn.relu(x)

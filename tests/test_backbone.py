@@ -189,13 +189,17 @@ def test_bn_mode_precision_contract():
     x = jnp.asarray(np.random.default_rng(0).normal(
         size=(2, 16, 8)).astype(np.float32))
     outs = {}
-    for mode in ("exact", "stats", "relaxed"):
+    for mode in ("exact", "fastvar", "stats", "relaxed"):
         m = ConvBN(4, dtype=jnp.bfloat16, bn_mode=mode)
         v = m.init(jax.random.PRNGKey(0), x, train=True)
         y = m.apply(v, x, train=True, mutable=["batch_stats"])[0]
         outs[mode] = np.asarray(y, np.float32)
-        # exact mode emits f32 activations; the relaxed modes emit bf16
-        assert y.dtype == (jnp.float32 if mode == "exact" else jnp.bfloat16)
+        # exact/fastvar emit f32 activations; the relaxed modes emit bf16
+        assert y.dtype == (jnp.float32 if mode in ("exact", "fastvar")
+                           else jnp.bfloat16)
+    # f32 single-pass variance agrees with two-pass to f32 rounding here
+    np.testing.assert_allclose(outs["exact"], outs["fastvar"],
+                               rtol=1e-4, atol=1e-4)
     # identical parameters: outputs agree up to bf16 rounding, and the
     # bf16 modes are exactly representable in bf16
     np.testing.assert_allclose(outs["exact"], outs["stats"],
@@ -203,3 +207,39 @@ def test_bn_mode_precision_contract():
     b16 = outs["stats"].astype(np.float32)
     assert (b16 == np.asarray(jnp.asarray(b16, jnp.bfloat16),
                               np.float32)).all()
+
+
+def test_bn_mode_hybrid_is_exact_in_f32():
+    """'hybrid' relaxes BNs only under a bf16 compute dtype; without one it
+    must be bit-identical to 'exact' (the parity stack never changes)."""
+    import jax
+    import jax.numpy as jnp
+    from r3dfsseg_tpu.nn.dgcnn import FeatureExtractor
+
+    x = jnp.asarray(np.random.default_rng(1).normal(
+        size=(2, 64, 9)).astype(np.float32))
+    ys = {}
+    for mode in ("exact", "hybrid", "fastvar"):
+        m = FeatureExtractor(dtype=None, bn_mode=mode,
+                             knn_impl="xla", attn_impl="xla")
+        v = m.init({"params": jax.random.PRNGKey(0),
+                    "dropout": jax.random.PRNGKey(1)}, x, train=True)
+        y, _ = m.apply(v, x, train=True, mutable=["batch_stats"],
+                       rngs={"dropout": jax.random.PRNGKey(2)})
+        ys[mode] = np.asarray(y)
+    np.testing.assert_array_equal(ys["hybrid"], ys["exact"])
+    np.testing.assert_array_equal(ys["fastvar"], ys["exact"])
+
+    # under bf16, hybrid keeps the embedding f32-typed (level-1 slice comes
+    # from an 'exact' BN; base slice from a 'fastvar' one) and stays close
+    # to the exact stack away from kNN-tie flips
+    m = FeatureExtractor(dtype=jnp.bfloat16, bn_mode="hybrid",
+                         knn_impl="xla", attn_impl="xla")
+    v = m.init({"params": jax.random.PRNGKey(0),
+                "dropout": jax.random.PRNGKey(1)}, x, train=True)
+    y, _ = m.apply(v, x, train=True, mutable=["batch_stats"],
+                   rngs={"dropout": jax.random.PRNGKey(2)})
+    assert y.dtype == jnp.float32
+    lvl1 = np.asarray(y)[..., :64]
+    b16 = lvl1 == np.asarray(jnp.asarray(lvl1, jnp.bfloat16), np.float32)
+    assert not b16.all(), "level-1 features were bf16-quantised in hybrid"

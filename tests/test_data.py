@@ -53,6 +53,40 @@ def test_sample_scan_shapes_and_labels(ds):
     assert np.allclose(xyz.min(0), 0, atol=1e-5)  # min-shifted
 
 
+def test_sample_scan_use_label_noise(ds, tmp_path):
+    """Noisy-fold label columns (loader.py:174-181,222-229): with
+    use_label_noise the sampler selects/labels from column 7+fold while the
+    diagnostic gt label stays on the clean column 6."""
+    root = str(tmp_path / "noisy")
+    os.makedirs(os.path.join(root, "data"))
+    rng = np.random.default_rng(3)
+    n = 600
+    scan = np.zeros((n, 10), np.float32)
+    scan[:, :3] = rng.normal(size=(n, 3))
+    scan[:, 3:6] = rng.integers(0, 256, size=(n, 3))
+    scan[:, 6] = (np.arange(n) < n // 2).astype(np.float32) * 5  # clean: cls 5
+    scan[:, 7] = (np.arange(n) >= n // 2).astype(np.float32) * 5  # fold0 flip
+    scan[:, 8] = scan[:, 6]                                       # fold1 clean
+    scan[:, 9] = np.arange(n) // 100                              # cluster
+    np.save(os.path.join(root, "data", "scan0.npy"), scan)
+
+    kw = dict(sampled_classes=[5], sampled_class=5, support=True)
+    _, lb0, gt0, _ = sample_scan(root, "scan0", 256, "xyzrgbXYZ",
+                                 use_label_noise=True, noise_in_fold=0,
+                                 rng=np.random.default_rng(0), **kw)
+    _, lb1, gt1, _ = sample_scan(root, "scan0", 256, "xyzrgbXYZ",
+                                 use_label_noise=True, noise_in_fold=1,
+                                 rng=np.random.default_rng(0), **kw)
+    # fold0's labels disagree with the clean gt (columns are flipped) ...
+    assert lb0.sum() > 0 and gt0.sum() > 0
+    assert np.any(lb0 != gt0)
+    # ... while fold1's column equals the clean one -> label == gt
+    np.testing.assert_array_equal(lb1, gt1)
+    with pytest.raises(ValueError):
+        sample_scan(root, "scan0", 256, "xyzrgbXYZ",
+                    use_label_noise=True, **kw)
+
+
 def test_augmentation_properties(rng):
     P = rng.normal(size=(100, 9)).astype(np.float32)
     cfg = {"scale": 0, "rot": 1, "mirror_prob": 0, "jitter": 0}
