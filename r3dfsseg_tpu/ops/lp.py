@@ -116,15 +116,20 @@ def local_constrained_affinity(
     # ---- neighbour selection (detached) + per-row k-th distance ----
     if impl == "threshold":
         if compare_dtype is not None:
-            # each bisection iteration re-reads the full matrix (HBM-bound);
             # 16 value-space steps resolve the radius to ~1.5e-5 of the
             # range — below bf16's own resolution, so extra steps only
             # re-split ties the bf16 compare cannot distinguish anyway
             sel_cmp = sel.astype(compare_dtype)
-            radius = _kth_smallest_per_row(sel_cmp, k, iters=16)
+            n_iters = 16
         else:
             sel_cmp = sel
-            radius = _kth_smallest_per_row(sel, k)          # (N, 1)
+            n_iters = 32
+        if jax.default_backend() == "tpu":
+            # one tiled VMEM pass instead of n_iters HBM passes
+            from r3dfsseg_tpu.ops.pallas_kth import kth_smallest_per_row_pallas
+            radius = kth_smallest_per_row_pallas(sel_cmp, k, iters=n_iters)
+        else:
+            radius = _kth_smallest_per_row(sel_cmp, k, iters=n_iters)
         kth = radius.astype(jnp.float32)
         idx = None
     elif impl == "topk":

@@ -17,7 +17,8 @@ def main():
 
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/r3d_trace"
     cfg = R3DConfig(episode_batch=1, lp_solver="cheby", lp_cg_iters=50,
-                    compute_dtype="bfloat16")
+                    lp_adjoint_iters=30, compute_dtype="bfloat16",
+                    bn_mode="fastvar")
     learner = bench._learner(cfg)
     batch = bench._batch(cfg, 1)
     learner.init(batch)

@@ -36,3 +36,36 @@ def test_pallas_knn_matches_exact(rng):
     # self always included first (distance 0)
     np.testing.assert_array_equal(got[:, :, 0],
                                   np.tile(np.arange(64), (2, 1)))
+
+
+def test_kth_smallest_pallas_matches_xla_loop():
+    """One-pass VMEM bisection (ops/pallas_kth.py, interpret mode) vs the
+    16/32-pass XLA loop: identical fixed point up to the per-row-vs-global
+    starting bracket, so both must admit >= k neighbours and agree with the
+    exact k-th distance to bisection resolution."""
+    import jax.numpy as jnp
+    from r3dfsseg_tpu.ops.lp import _BIG, _kth_smallest_per_row
+    from r3dfsseg_tpu.ops.pallas_kth import kth_smallest_per_row_pallas
+
+    rng = np.random.default_rng(5)
+    n, k = 96, 7
+    d = rng.uniform(0.1, 9.0, size=(n, n)).astype(np.float32)
+    d[np.arange(n), np.arange(n)] = _BIG          # self-exclusion sentinel
+    d[:, -4:] = _BIG                              # invalid columns
+
+    for dt in (jnp.float32, jnp.bfloat16):
+        dd = jnp.asarray(d, dt)
+        got = np.asarray(kth_smallest_per_row_pallas(
+            dd, k, iters=32, tile_n=32, interpret=True))[:, 0]
+        ref = np.asarray(_kth_smallest_per_row(dd, k, iters=32))[:, 0]
+        exact = np.sort(d, axis=1)[:, k - 1]
+        # both bisections bracket the exact k-th distance from above
+        assert (got >= exact - 1e-2).all() and (ref >= exact - 1e-2).all()
+        # >= k neighbours must survive at the radius, in the dtype the
+        # membership pass actually compares in (ops/lp.py:157)
+        d_cmp = np.asarray(dd, np.float32)
+        counts = (d_cmp <= got[:, None]).sum(1)
+        assert (counts >= k).all(), "radius admits fewer than k neighbours"
+        tol = 0.05 if dt == jnp.bfloat16 else 1e-3
+        np.testing.assert_allclose(got, exact, rtol=tol, atol=tol)
+        np.testing.assert_allclose(ref, exact, rtol=tol, atol=tol)
