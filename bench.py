@@ -143,7 +143,7 @@ def main():
 
     parity_cfg = R3DConfig(episode_batch=1, lp_solver="solve",
                            affinity_impl="topk", knn_impl="xla",
-                           compute_dtype="float32")
+                           fps_impl="xla", compute_dtype="float32")
     parity_eps = measure_train(parity_cfg, 1)
 
     flops = model_flops_per_episode(opt_cfg)

@@ -115,6 +115,7 @@ class R3DConfig:
                                            # gradient-side solve, not the
                                            # forward predictions (ops/lp.py)
     knn_impl: str = "auto"                 # auto | pallas | xla | approx
+    fps_impl: str = "auto"                 # auto | pallas | xla (parity)
     attn_impl: str = "auto"                # auto | pallas | xla (SelfAttention)
     affinity_impl: str = "threshold"       # threshold (fast) | topk (tie parity)
     compute_dtype: str = "float32"         # float32 | bfloat16 (encoder matmuls)

@@ -229,7 +229,7 @@ class MPTINet(nn.Module):
         if train:
             protos, pvalid, labels, svalid = jax.vmap(
                 lambda f, y, flag: _contrast_prototypes(
-                    f, y, flag, c.contrast_fps_k)
+                    f, y, flag, c.contrast_fps_k, c.fps_impl)
             )(sf, ep.support_y, ep.support_flag.astype(jnp.float32))
             z = self.proj(protos)
             z = z / jnp.maximum(jnp.linalg.norm(z, axis=-1, keepdims=True), 1e-12)
@@ -254,6 +254,7 @@ def _contrast_prototypes(
     support_y: Array,      # (n_way, k_shot, N)
     support_flag: Array,   # (n_way, k_shot) float
     fps_k: int,
+    fps_impl: str = "auto",
 ):
     """Per-shot FPS prototypes + labels/validity for WayContrast
     (mpti.py:246-284), fixed shapes: (n_way, k_shot+2, fps_k, d).
@@ -267,7 +268,7 @@ def _contrast_prototypes(
     fg = support_y > 0
 
     def per_shot(f, m):
-        mp = multi_prototypes(f, m, fps_k)
+        mp = multi_prototypes(f, m, fps_k, impl=fps_impl)
         return mp.prototypes, mp.proto_valid
 
     protos, pvalid = jax.vmap(jax.vmap(per_shot))(support_feat, fg)
@@ -337,12 +338,13 @@ def _mpti_core(
     # the pad rows triple the VPU work).  Both rewrites were reverted.
     flat = support_feat.reshape(n_way, k_shot * n, d)
     fg_flat = fg_used.reshape(n_way, k_shot * n)
-    fg_mp = jax.vmap(lambda f, m: multi_prototypes(f, m, np_))(flat, fg_flat)
+    fg_mp = jax.vmap(lambda f, m: multi_prototypes(
+        f, m, np_, impl=c.fps_impl))(flat, fg_flat)
     fg_assign = fg_mp.assignments                      # (n_way, k_shot*n)
 
     bg_feat_all = support_feat.reshape(n_way * k_shot * n, d)
     bg_mask_all = (~fg).reshape(-1)                    # raw complement (mpti.py:486)
-    bg_mp = multi_prototypes(bg_feat_all, bg_mask_all, np_)
+    bg_mp = multi_prototypes(bg_feat_all, bg_mask_all, np_, impl=c.fps_impl)
 
     # node order: [bg | way0 | way1 | ... | queries] (mpti.py:493-508)
     protos = jnp.concatenate(

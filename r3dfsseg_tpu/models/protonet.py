@@ -83,7 +83,7 @@ class ProtoNet(nn.Module):
         if train and self.with_contrast and ep.support_flag is not None:
             protos, pvalid, labels, svalid = jax.vmap(
                 lambda f, y, flag: _contrast_prototypes(
-                    f, y, flag, c.contrast_fps_k)
+                    f, y, flag, c.contrast_fps_k, c.fps_impl)
             )(sf, ep.support_y, ep.support_flag.astype(jnp.float32))
             z = self.proj(protos)
             z = z / jnp.maximum(jnp.linalg.norm(z, axis=-1, keepdims=True), 1e-12)

@@ -19,6 +19,7 @@ Semantics matched to the reference:
 """
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -32,7 +33,7 @@ _NEG = -1.0  # masked sentinel: strictly below any sq-distance (>= 0)
 
 
 def masked_fps(feat: Array, valid: Array, k: int,
-               select_dtype=None) -> tuple[Array, Array]:
+               select_dtype=None, impl: str = "auto") -> tuple[Array, Array]:
     """Deterministic farthest point sampling over the valid subset.
 
     Args:
@@ -53,6 +54,20 @@ def masked_fps(feat: Array, valid: Array, k: int,
     n = feat.shape[0]
     feat = feat.astype(select_dtype or jnp.float32)
     n_valid = jnp.sum(valid.astype(jnp.int32))
+    seed_valid = jnp.arange(k) < jnp.minimum(k, n_valid)
+
+    # impl='auto' runs every selection round inside one Pallas kernel with
+    # the (N, C) matrix VMEM-resident on TPU (ops/pallas_fps.py): same
+    # masking/tie semantics, but Gram-trick distances, so near-exact ties
+    # may pick different (equally-farthest) seeds.  impl='xla' keeps this
+    # fori_loop (the reference-faithful direct sum((x-c)^2) ordering) and
+    # is what the bench parity mode uses.  R3D_FPS_IMPL overrides for A/Bs.
+    impl = os.environ.get("R3D_FPS_IMPL", impl)
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        from r3dfsseg_tpu.ops.pallas_fps import masked_fps_pallas
+        return masked_fps_pallas(feat, valid, k), seed_valid
 
     # min squared distance to the chosen seed set; +inf for unchosen valid
     # points so the very first argmax picks the *first* valid point
@@ -75,7 +90,6 @@ def masked_fps(feat: Array, valid: Array, k: int,
     _, seed_idx = jax.lax.fori_loop(
         0, k, body, (init_dist, jnp.zeros((k,), jnp.int32))
     )
-    seed_valid = jnp.arange(k) < jnp.minimum(k, n_valid)
     return seed_idx, seed_valid
 
 
@@ -86,7 +100,7 @@ class MultiPrototypes(NamedTuple):
 
 
 def multi_prototypes(feat: Array, valid: Array, k: int,
-                     select_dtype=None) -> MultiPrototypes:
+                     select_dtype=None, impl: str = "auto") -> MultiPrototypes:
     """FPS seeds + hard assignment + per-cluster means, fixed shapes.
 
     Mirrors `getMutiplePrototypes` (mpti.py:597-634) under masking: the
@@ -96,7 +110,7 @@ def multi_prototypes(feat: Array, valid: Array, k: int,
     """
     n, c = feat.shape
     feat32 = feat.astype(jnp.float32)
-    seed_idx, seed_valid = masked_fps(feat32, valid, k, select_dtype)
+    seed_idx, seed_valid = masked_fps(feat32, valid, k, select_dtype, impl)
     seeds = feat32[seed_idx]                                  # (k, C)
 
     # point -> nearest valid seed (mpti.py:618-622); Gram-trick matmul keeps
