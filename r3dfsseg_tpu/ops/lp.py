@@ -13,6 +13,7 @@ columns, so CG is a handful of MXU matvecs instead of an O(n^3) inverse).
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -203,8 +204,8 @@ def _normalized_propagation_matrix(a: Array) -> Array:
     return a * d_inv_sqrt[:, None] * d_inv_sqrt[None, :]
 
 
-@partial(jax.jit, static_argnames=("solver", "cg_iters", "matvec_dtype",
-                                   "adjoint_iters"))
+@partial(jax.jit, static_argnames=("alpha", "solver", "cg_iters",
+                                   "matvec_dtype", "adjoint_iters"))
 def label_propagate(
     a: Array,
     y: Array,
@@ -261,10 +262,6 @@ def label_propagate(
                             precision=jax.lax.Precision.HIGHEST)
             return z - alpha * sz
 
-        def solve_fn(mv, b):
-            return _chebyshev(mv, b, 1.0 - alpha, 1.0 + alpha,
-                              iters=max(cg_iters, 1))
-
         # With symmetric=True custom_linear_solve already hands the adjoint
         # the *forward* matvec jaxpr (no transposed-orientation penalty);
         # the explicit tsolve exists only to truncate the adjoint iteration
@@ -272,9 +269,32 @@ def label_propagate(
         # adjoint iteration (31.0 ms at 50 -> 29.4 ms at 2).
         t_iters = cg_iters if adjoint_iters is None else adjoint_iters
 
-        def tsolve(_mv, b):
-            return _chebyshev(matvec, b, 1.0 - alpha, 1.0 + alpha,
-                              iters=max(t_iters, 1))
+        use_kernel = (matvec_dtype is not None
+                      and jax.default_backend() == "tpu"
+                      and os.environ.get("R3D_CHEBY_IMPL", "auto") != "xla")
+        if use_kernel:
+            # bf16 graph on TPU: run ALL iterations inside one pallas_call
+            # with S VMEM-resident instead of re-streaming it from HBM per
+            # matvec (ops/pallas_cheby.py; 3.85 vs 5.06 ms per 50-iter
+            # solve on v5e).  f32 S (80 MB padded) exceeds the VMEM budget,
+            # so the f32/CPU paths keep the XLA loop below.
+            from r3dfsseg_tpu.ops.pallas_cheby import cheby_solve_pallas
+
+            def solve_fn(_mv, b):
+                return cheby_solve_pallas(s_mv, b, alpha,
+                                          iters=max(cg_iters, 1))
+
+            def tsolve(_mv, b):
+                return cheby_solve_pallas(s_mv, b, alpha,
+                                          iters=max(t_iters, 1))
+        else:
+            def solve_fn(mv, b):
+                return _chebyshev(mv, b, 1.0 - alpha, 1.0 + alpha,
+                                  iters=max(cg_iters, 1))
+
+            def tsolve(_mv, b):
+                return _chebyshev(matvec, b, 1.0 - alpha, 1.0 + alpha,
+                                  iters=max(t_iters, 1))
         return jax.lax.custom_linear_solve(
             matvec, y, solve_fn, transpose_solve=tsolve, symmetric=True)
 
