@@ -253,6 +253,20 @@ def main():
         out[f"{name}/train/lp_loss"] = np.float32(lp.item())
         out[f"{name}/train/contrast_loss"] = np.float32(contrast.item())
 
+        # --- train-step gradients: d(lp + 0.1*contrast)/d(params), the
+        # exact loss the reference learner backprops (mpti_learner.py:66).
+        # Captured AFTER the no-grad forwards so the RNG streams (and
+        # therefore every fixture value above) are unchanged. ---
+        m = fresh().train()
+        pred, lp, contrast, *_ = m.forward(
+            t["support_x"], t["support_y"], t["query_x"], t["query_y"],
+            gt_support_y=t["gt_support_y"], gt_query_y=t["gt_query_y"],
+            train=True, logger=_Logger(), support_flag=t["support_flag"])
+        (lp + 0.1 * contrast).backward()
+        for pname, p in m.named_parameters():
+            if p.grad is not None:
+                out[f"{name}/train_grads/{pname}"] = p.grad.detach().numpy()
+
     # --- ProtoNet baseline parity (protonet.py:245-275), reusing the same
     # feature-extractor weights and the f0 episode ---
     enc_sd = {k: v for k, v in sd.items() if not k.startswith("proj.")}
