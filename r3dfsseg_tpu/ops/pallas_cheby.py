@@ -7,15 +7,21 @@ traffic for a matrix that fits in VMEM.  This kernel loads S into VMEM
 once and runs ALL iterations on the resident copy; the per-iteration
 matvec is a single (M, M) x (M, ncols) MXU dot against f32 scratch
 iterates.  Measured on v5e at the production shape (m=4396, 50 iters,
-bf16 S): 3.85 ms/solve vs 5.06 ms for the XLA loop (42 vs 72 us/matvec).
+bf16 S): 2.68 ms/solve vs 5.06 ms for the XLA loop.
 
 Semantics: identical Chebyshev recurrence as `_chebyshev` (Saad alg.
 12.1) on the system (I - alpha*S) x = b with spectral bounds
-[1-alpha, 1+alpha]; the only numerical delta vs the XLA bf16-matvec
-path is that the direction vector d is rounded to S's dtype before the
-MXU dot (single-pass bf16 x bf16) instead of a mixed bf16 x f32
-HIGHEST-precision product — measured end-to-end rel err ~1e-3, the same
-error class as the bf16 matvec storage already validated in BASELINE.md.
+[1-alpha, 1+alpha].  With a bf16 S the direction vector goes through
+the MXU as a SPLIT-bf16 pair (hi = bf16(d), lo = bf16(d - hi)),
+giving ~16 effective mantissa bits — measured end-to-end rel err
+~6e-4, i.e. limited by S's own bf16 storage exactly like the XLA
+mixed-precision matvec it replaces.  A plain single-dot bf16 rounding
+of d was measured to degrade meta-training (BASELINE.md seed table)
+via compounding recurrence noise in the adjoint solve.  Because the
+live RHS columns (n_way+1 = 3) fit in half the 128-lane-padded width,
+hi and lo pack into ONE cp-wide operand: full split precision at
+single-dot MXU cost, and the recurrence's VPU updates run half-width
+— 2.68 ms/solve vs 3.85 for the original full-width single-dot.
 
 Used by `label_propagate` (reference: the dense ~4.4k^2 inverse at
 `/root/reference/models/mpti.py:775`) when the graph runs in bf16 on
@@ -34,7 +40,7 @@ Array = jax.Array
 
 
 def _cheby_kernel(s_ref, b_ref, out_ref, x_s, r_s, d_s, *,
-                  alpha: float, iters: int):
+                  alpha: float, iters: int, ncols: int):
     lmin, lmax = 1.0 - alpha, 1.0 + alpha
     theta = 0.5 * (lmax + lmin)
     delta = 0.5 * (lmax - lmin)
@@ -44,17 +50,45 @@ def _cheby_kernel(s_ref, b_ref, out_ref, x_s, r_s, d_s, *,
     d_s[:] = r_s[:] * (1.0 / theta)
     x_s[:] = d_s[:]
 
+    cp = d_s.shape[1]
+    h = cp // 2
+    # Split-bf16 matvec (see module docstring).  When the live columns fit
+    # in half the lane-padded width (always true for the LP use: 3 of 128),
+    # hi and lo PACK into one cp-wide operand — full split precision at
+    # single-dot MXU cost.  Recurrence updates then touch only [:, :h];
+    # columns >= h of the scratches carry garbage that nothing reads.
+    packed = s_ref.dtype != jnp.float32 and ncols <= h
+
+    def body_packed(i, rho):
+        d = d_s[:, :h]
+        hi = d.astype(s_ref.dtype)
+        lo = (d - hi.astype(jnp.float32)).astype(s_ref.dtype)
+        sd2 = jnp.dot(s_ref[:], jnp.concatenate([hi, lo], axis=1),
+                      preferred_element_type=jnp.float32)
+        sd = sd2[:, :h] + sd2[:, h:]
+        md = d - alpha * sd                      # (I - alpha*S) d
+        r_s[:, :h] = r_s[:, :h] - md
+        rho_new = 1.0 / (2.0 * sigma1 - rho)
+        d_s[:, :h] = (rho_new * rho) * d + (2.0 * rho_new / delta) * r_s[:, :h]
+        x_s[:, :h] = x_s[:, :h] + d_s[:, :h]
+        return rho_new
+
     def body(i, rho):
-        sd = jnp.dot(s_ref[:], d_s[:].astype(s_ref.dtype),
-                     preferred_element_type=jnp.float32)
-        md = d_s[:] - alpha * sd                 # (I - alpha*S) d
+        d = d_s[:]
+        hi = d.astype(s_ref.dtype)
+        sd = jnp.dot(s_ref[:], hi, preferred_element_type=jnp.float32)
+        if s_ref.dtype != jnp.float32:  # wide-RHS split: pay the lo dot
+            lo = (d - hi.astype(jnp.float32)).astype(s_ref.dtype)
+            sd = sd + jnp.dot(s_ref[:], lo, preferred_element_type=jnp.float32)
+        md = d - alpha * sd                      # (I - alpha*S) d
         r_s[:] = r_s[:] - md
         rho_new = 1.0 / (2.0 * sigma1 - rho)
-        d_s[:] = (rho_new * rho) * d_s[:] + (2.0 * rho_new / delta) * r_s[:]
+        d_s[:] = (rho_new * rho) * d + (2.0 * rho_new / delta) * r_s[:]
         x_s[:] = x_s[:] + d_s[:]
         return rho_new
 
-    jax.lax.fori_loop(0, iters - 1, body, 1.0 / sigma1)
+    jax.lax.fori_loop(0, iters - 1, body_packed if packed else body,
+                      1.0 / sigma1)
     out_ref[:] = x_s[:]
 
 
@@ -86,7 +120,8 @@ def cheby_solve_pallas(s: Array, b: Array, alpha: float, iters: int,
     bp = b if (mp == m and cp == ncols) else (
         jnp.zeros((mp, cp), jnp.float32).at[:m, :ncols].set(b))
     out = pl.pallas_call(
-        functools.partial(_cheby_kernel, alpha=alpha, iters=iters),
+        functools.partial(_cheby_kernel, alpha=alpha, iters=iters,
+                          ncols=ncols),
         out_shape=jax.ShapeDtypeStruct((mp, cp), jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],

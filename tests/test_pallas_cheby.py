@@ -35,15 +35,21 @@ def test_cheby_pallas_matches_xla_f32(rng):
 
 
 def test_cheby_pallas_bf16_graph(rng):
-    # bf16 S (the production gating): the kernel rounds the direction
-    # vector to bf16 before the dot, so compare against the true f32
-    # solution with a bf16-class tolerance.
+    # bf16 S (the production gating): the direction vector goes through
+    # the MXU as a split-bf16 hi/lo pair, so the kernel must match the
+    # XLA mixed-precision matvec (bf16 S x f32 d) to much better than
+    # single-dot bf16 rounding (~2e-2); the residual error is S's own
+    # bf16 storage.
     s, b = _lp_system(rng, 128)
     alpha = 0.99
-    want = np.asarray(_xla_solve(s, b, alpha, 60))
-    got = np.asarray(cheby_solve_pallas(
-        s.astype(jnp.bfloat16), b, alpha, 60, interpret=True))
+    sb = s.astype(jnp.bfloat16)
+    want = np.asarray(_xla_solve(sb, b, alpha, 60))
+    got = np.asarray(cheby_solve_pallas(sb, b, alpha, 60, interpret=True))
     err = np.max(np.abs(got - want)) / (np.max(np.abs(want)) + 1e-30)
+    assert err < 2e-3, err
+    # And against the true f32 solution: bf16-storage-class error only.
+    want_f32 = np.asarray(_xla_solve(s, b, alpha, 60))
+    err = np.max(np.abs(got - want_f32)) / (np.max(np.abs(want_f32)) + 1e-30)
     assert err < 2e-2, err
 
 
