@@ -149,14 +149,15 @@ def _take_fwd_impl(x: Array, idx: Array) -> Array:
     # gather_onehot_pallas), XLA one-hot einsum 3.88 ms (bf16, exact).
     # f32 keeps the flat take: the MXU's fp32 x3-decomposition rounds
     # through bf16 passes, so the einsum is inexact there.
-    # Step-level A/B (3 runs, full MPTI train step): onehot 25.3/24.7,
-    # flat 25.3 eps/s — identical within noise.  The microbench win does
-    # not survive because XLA already overlaps the scalar-core gather with
-    # MXU work in the real step.  Default stays the simpler flat take;
-    # R3D_GATHER_IMPL=onehot selects the einsum form for experiments.
+    # At the round-3 31.6-ms step the two were step-level neutral (the
+    # scalar-core gather overlapped MXU work); at the round-4 28-ms step
+    # the gather IS the critical path — trace: 0.71 ms/take x3 plus
+    # ~0.75 ms/block of layout copies around the flat take's 2-D reshape —
+    # and the einsum wins the step A/B 28.0 vs 30.8 ms.  Default is now
+    # onehot on TPU+bf16; R3D_GATHER_IMPL=flat restores the take.
     import os
     if (jax.default_backend() == "tpu" and x.dtype == jnp.bfloat16
-            and os.environ.get("R3D_GATHER_IMPL", "flat") == "onehot"):
+            and os.environ.get("R3D_GATHER_IMPL", "onehot") == "onehot"):
         return _onehot_take(x, idx)
     return _flat_take(x, idx)
 

@@ -14,7 +14,22 @@ Array = jax.Array
 
 
 def segment_sum(data: Array, segment_ids: Array, num_segments: int) -> Array:
-    """Sum ``data`` rows into ``num_segments`` buckets (static count)."""
+    """Sum ``data`` rows into ``num_segments`` buckets (static count).
+
+    On TPU with a small bucket count (the prototype/cluster means: <=512
+    of 192-d) the XLA scatter-add is descriptor-bound on the scalar core —
+    traced at ~200 us per (N, P) scatter for outputs of a few hundred rows.
+    A one-hot einsum runs the same reduction on the MXU in ~10 us; with an
+    exactly-representable 0/1 factor and HIGHEST precision the f32
+    products are exact (only the accumulation tree order differs from the
+    scatter).  Out-of-range ids produce an all-zero one-hot row — dropped,
+    same as segment_sum.
+    """
+    if (jax.default_backend() == "tpu" and data.ndim == 2
+            and num_segments <= 512):
+        oh = jax.nn.one_hot(segment_ids, num_segments, dtype=data.dtype)
+        return jnp.einsum("np,nc->pc", oh, data,
+                          precision=jax.lax.Precision.HIGHEST)
     return jax.ops.segment_sum(data, segment_ids, num_segments=num_segments)
 
 
