@@ -25,8 +25,11 @@ def segment_sum(data: Array, segment_ids: Array, num_segments: int) -> Array:
     scatter).  Out-of-range ids produce an all-zero one-hot row — dropped,
     same as segment_sum.
     """
-    if (jax.default_backend() == "tpu" and data.ndim == 2
-            and num_segments <= 512):
+    import os
+    impl = os.environ.get("R3D_SEGSUM_IMPL", "auto")
+    use_onehot = (impl == "onehot"
+                  or (impl == "auto" and jax.default_backend() == "tpu"))
+    if use_onehot and data.ndim == 2 and num_segments <= 512:
         oh = jax.nn.one_hot(segment_ids, num_segments, dtype=data.dtype)
         return jnp.einsum("np,nc->pc", oh, data,
                           precision=jax.lax.Precision.HIGHEST)

@@ -130,6 +130,27 @@ def test_segment_mean(rng):
     np.testing.assert_allclose(got[3], 0.0)  # empty segment -> 0
 
 
+def test_segment_sum_onehot_impl_matches_scatter(rng, monkeypatch):
+    """The TPU one-hot-einsum fast path (R3D_SEGSUM_IMPL=onehot) is exact
+    vs the XLA scatter, including dropped out-of-range/negative ids and
+    the gradient (cotangent gather)."""
+    from r3dfsseg_tpu.ops.segment import segment_sum
+
+    x = rng.normal(size=(40, 7)).astype(np.float32)
+    ids = rng.integers(-2, 6, size=40)  # includes negative + >= num_segments
+    xj, idsj = jnp.asarray(x), jnp.asarray(ids)
+
+    monkeypatch.setenv("R3D_SEGSUM_IMPL", "scatter")
+    want = np.asarray(segment_sum(xj, idsj, 5))
+    gw = np.asarray(jax.grad(lambda a: segment_sum(a, idsj, 5).sum())(xj))
+    monkeypatch.setenv("R3D_SEGSUM_IMPL", "onehot")
+    got = np.asarray(segment_sum(xj, idsj, 5))
+    gg = np.asarray(jax.grad(lambda a: segment_sum(a, idsj, 5).sum())(xj))
+
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(gg, gw, rtol=1e-6, atol=1e-6)
+
+
 def test_masked_mean(rng):
     x = rng.normal(size=(3, 6)).astype(np.float32)
     m = rng.integers(0, 2, size=(3, 6)).astype(np.float32)
