@@ -404,8 +404,13 @@ def _mpti_core(
         proto_pred = jnp.argmax(proto_block[1:], axis=-1)       # (w, NP)
         way_ids = jnp.arange(n_way)[:, None]
         proto_is_cls = (proto_pred == way_ids + 1)              # (w, NP)
-        point_pred = jnp.take_along_axis(
-            proto_is_cls, fg_assign, axis=1)                    # (w, k*N)
+        # table lookup as a one-hot contraction: the 80k-row gather from a
+        # 100-wide table lowers to a ~200 us scalar-core gather on TPU,
+        # while the one-hot einsum runs on the MXU in ~10 us (exact: 0/1
+        # factors).  Diagnostics-only path, but it runs every train step.
+        oh = jax.nn.one_hot(fg_assign, np_, dtype=jnp.float32)  # (w, kN, NP)
+        point_pred = jnp.einsum(
+            "wmp,wp->wm", oh, proto_is_cls.astype(jnp.float32)) > 0.5
         gt_flat = (ep.gt_support_y.reshape(n_way, -1) > 0)
         fgf = fg_used.reshape(n_way, -1).astype(jnp.float32)
         denom = jnp.maximum(jnp.sum(fgf, -1), 1.0)

@@ -93,6 +93,11 @@ def local_constrained_affinity(
         xx = jnp.sum(xc * xc, axis=-1, keepdims=True)       # f32 norms
         inner = jnp.einsum("nc,mc->nm", xb, xb,
                            preferred_element_type=jnp.float32)
+        # sqd itself stays f32: rounding d to bf16 costs (d/2sigma^2) x
+        # 0.4% relative similarity error — unbounded at fixed sigma
+        # (measured median 3% at sigma=1 on unit-normal features).  The
+        # half-width graph starts AFTER the exp, where the store rounding
+        # is a flat ~0.4% relative on the similarity at any sigma.
         sqd = jnp.maximum(xx - 2.0 * inner + xx.T, 0.0)
     else:
         sqd = pairwise_sqdist(f32)
@@ -107,23 +112,30 @@ def local_constrained_affinity(
     # saturated to the uniform complete graph (lp_loss pinned at ln(3)
     # from step 1 of every bf16-graph training run).  1e30 dwarfs any real
     # squared feature distance (~1e4) and converts safely.
-    big = jnp.asarray(_BIG, jnp.float32)
     eye = jnp.eye(n, dtype=bool)
-    sel = jax.lax.stop_gradient(sqd)
-    sel = jnp.where(eye, big, sel)                  # drop self (mpti.py:736)
-    if valid is not None:
-        sel = jnp.where(valid[None, :], sel, big)
+
+    def _masked(d):
+        """Detached copy with self/invalid entries pushed past any real
+        distance (drop self: mpti.py:736)."""
+        big_d = jnp.asarray(_BIG, d.dtype)
+        d = jnp.where(eye, big_d, d)
+        if valid is not None:
+            d = jnp.where(valid[None, :], d, big_d)
+        return d
 
     # ---- neighbour selection (detached) + per-row k-th distance ----
     if impl == "threshold":
         if compare_dtype is not None:
             # 16 value-space steps resolve the radius to ~1.5e-5 of the
             # range — below bf16's own resolution, so extra steps only
-            # re-split ties the bf16 compare cannot distinguish anyway
-            sel_cmp = sel.astype(compare_dtype)
+            # re-split ties the bf16 compare cannot distinguish anyway.
+            # The convert fuses into the masked store: the detached
+            # compare copy never exists in f32.
+            sel_cmp = _masked(
+                jax.lax.stop_gradient(sqd).astype(compare_dtype))
             n_iters = 16
         else:
-            sel_cmp = sel
+            sel_cmp = _masked(jax.lax.stop_gradient(sqd))
             n_iters = 32
         if jax.default_backend() == "tpu":
             # one tiled VMEM pass instead of n_iters HBM passes
@@ -134,10 +146,18 @@ def local_constrained_affinity(
         kth = radius.astype(jnp.float32)
         idx = None
     elif impl == "topk":
+        sel = _masked(jax.lax.stop_gradient(sqd).astype(jnp.float32))
         negv, idx = jax.lax.top_k(-sel, k)                  # (N, k)
         kth = -negv[:, -1:]                                 # (N, 1)
     else:
         raise NotImplementedError(f"unknown affinity impl {impl!r}")
+
+    # Graph storage dtype: the relaxed threshold path keeps the similarity
+    # matrix (and everything until the solver's bf16 matvec copy) at
+    # compare_dtype; parity paths stay f32.
+    out_dtype = (compare_dtype
+                 if compare_dtype is not None and impl == "threshold"
+                 else jnp.float32)
 
     if method == "gaussian":
         if sigma <= 0:
@@ -151,25 +171,29 @@ def local_constrained_affinity(
             sigma2 = jax.lax.stop_gradient(jnp.maximum(med / 4.0, 1e-12))
         else:
             sigma2 = sigma * sigma
-        sim_full = jnp.exp(-0.5 * sqd / sigma2)
+        # exp runs in f32 (one fused upconvert), the store rounds once
+        sim_full = jnp.exp(
+            -0.5 * sqd.astype(jnp.float32) / sigma2).astype(out_dtype)
     elif method == "cosine":
         norm = f32 / (jnp.linalg.norm(f32, axis=-1, keepdims=True) + 1e-12)
         sim_full = jnp.einsum("nc,mc->nm", norm, norm,
-                              preferred_element_type=jnp.float32)
+                              preferred_element_type=jnp.float32
+                              ).astype(out_dtype)
     else:
         raise NotImplementedError(f"unknown affinity method {method!r}")
 
     if impl == "threshold":
-        a = jnp.where(sel_cmp <= radius, sim_full, 0.0)
+        a = jnp.where(sel_cmp <= radius, sim_full,
+                      jnp.zeros((), out_dtype))
     else:
         sim = jnp.take_along_axis(sim_full, idx, axis=1)
         a = jnp.zeros((n, n), jnp.float32).at[
             jnp.arange(n)[:, None], idx].set(sim)
 
     a = a + a.T                                      # symmetrise (mpti.py:752)
-    a = jnp.where(eye, 0.0, a)                       # zero diagonal (mpti.py:754-755)
+    a = jnp.where(eye, jnp.zeros((), a.dtype), a)    # zero diagonal (mpti.py:754-755)
     if valid is not None:
-        v = valid.astype(jnp.float32)
+        v = valid.astype(a.dtype)
         a = a * v[:, None] * v[None, :]
     return a
 
@@ -241,8 +265,23 @@ def label_propagate(
     predictions.  None (default) = same as cg_iters (parity behaviour).
     """
     eps = jnp.asarray(jnp.finfo(jnp.float64).eps, jnp.float32)
-    s = _normalized_propagation_matrix(a.astype(jnp.float32))
-    s_mv = s.astype(matvec_dtype) if matvec_dtype is not None else s
+    if (matvec_dtype is not None and a.dtype == matvec_dtype
+            and solver in ("cheby", "cg")):
+        # Half-width affinity from the relaxed graph chain: normalise it
+        # by ITS OWN degrees (f32 accumulation), round the scaled product
+        # once.  The scale factors r_i stay f32 so the row sums of the
+        # rounded S stay within quantisation (~0.4%) of 1 — Chebyshev's
+        # eig(S) in [-1, 1] assumption holds to the same tolerance as the
+        # existing s.astype(bf16) quantisation.  One bf16 read + one bf16
+        # write instead of three f32 + one bf16 pass.
+        d = jnp.sum(a, axis=1, dtype=jnp.float32)
+        r = jnp.sqrt(1.0 / (d + eps))
+        s_mv = (a.astype(jnp.float32)
+                * r[:, None] * r[None, :]).astype(matvec_dtype)
+        s = s_mv
+    else:
+        s = _normalized_propagation_matrix(a.astype(jnp.float32))
+        s_mv = s.astype(matvec_dtype) if matvec_dtype is not None else s
     y = y.astype(jnp.float32)
 
     if solver == "solve":

@@ -80,6 +80,28 @@ def test_bf16_cg_matvec_close_to_f32(rng):
     assert rel < 0.05, rel
 
 
+def test_bf16_affinity_returns_half_width_graph(rng):
+    """Relaxed threshold mode stores the whole graph chain in bf16 (the
+    solver's matvec copy would be bf16 anyway); values stay within one
+    store-rounding of the f32 chain and the bf16 in-place normalisation in
+    label_propagate matches f32-normalise-then-cast to bf16 resolution."""
+    n = 200
+    nf = jnp.asarray(rng.normal(size=(n, 16)).astype(np.float32))
+    a16 = local_constrained_affinity(nf, 12, 0.0, impl="threshold",
+                                     compare_dtype=jnp.bfloat16)
+    assert a16.dtype == jnp.bfloat16
+    # f32-normalise the upcast graph (the old path) vs what the relaxed
+    # label_propagate matvec sees — compare via a 1-iteration cheby solve
+    # being finite and close to the f32-graph solve
+    y = jnp.zeros((n, 3), jnp.float32).at[:10, 0].set(1.0)
+    zb = label_propagate(a16, y, 0.99, solver="cheby", cg_iters=40,
+                         matvec_dtype=jnp.bfloat16)
+    zf = label_propagate(a16.astype(jnp.float32), y, 0.99, solver="cheby",
+                         cg_iters=40, matvec_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(zb), np.asarray(zf),
+                               rtol=0.05, atol=5e-3)
+
+
 def test_bf16_cg_gradients_flow(rng):
     n = 128
     nf = jnp.asarray(rng.normal(size=(n, 16)).astype(np.float32))
