@@ -91,14 +91,12 @@ def local_constrained_affinity(
         xc = f32 - jnp.mean(f32, axis=0, keepdims=True)
         xb = xc.astype(compare_dtype)
         xx = jnp.sum(xc * xc, axis=-1, keepdims=True)       # f32 norms
-        inner = jnp.einsum("nc,mc->nm", xb, xb,
-                           preferred_element_type=jnp.float32)
         # sqd itself stays f32: rounding d to bf16 costs (d/2sigma^2) x
         # 0.4% relative similarity error — unbounded at fixed sigma
         # (measured median 3% at sigma=1 on unit-normal features).  The
         # half-width graph starts AFTER the exp, where the store rounding
         # is a flat ~0.4% relative on the similarity at any sigma.
-        sqd = jnp.maximum(xx - 2.0 * inner + xx.T, 0.0)
+        sqd = _centered_sqdist(xb, xx)
     else:
         sqd = pairwise_sqdist(f32)
     # Exclusion sentinel for self/invalid entries.  MUST be exactly
@@ -196,6 +194,46 @@ def local_constrained_affinity(
         v = valid.astype(a.dtype)
         a = a * v[:, None] * v[None, :]
     return a
+
+
+@jax.custom_vjp
+def _centered_sqdist(xb: Array, xx: Array) -> Array:
+    """f32 squared distances from the centered low-precision gram:
+    max(xx - 2 xb@xb^T + xx^T, 0) with the gram's f32 MXU accumulation.
+
+    Custom VJP (active only on this relaxed path): the (N, N) cotangent
+    feeds the backward dots at the graph's compare dtype instead of f32 —
+    a gradient-side-only quantisation in the same class as the bf16
+    scatter backward — which halves the three full-matrix backward passes
+    (cotangent store + two dot reads + the xx reduce) at N=4396."""
+    inner = jnp.einsum("nc,mc->nm", xb, xb,
+                       preferred_element_type=jnp.float32)
+    return jnp.maximum(xx - 2.0 * inner + xx.T, 0.0)
+
+
+def _cs_fwd(xb, xx):
+    out = _centered_sqdist(xb, xx)
+    return out, (xb, out)
+
+
+def _cs_bwd(res, g):
+    xb, out = res
+    # clip mask from the saved output: out == 0 iff raw <= 0 (the raw == 0
+    # boundary is measure-zero and its subgradient choice is arbitrary)
+    gb = jnp.where(out > 0.0, g, 0.0).astype(xb.dtype)
+    # inner = xb @ xb^T  =>  d_xb = -2 (gb + gb^T) @ xb; the transpose is
+    # free inside the dot dimension numbers
+    d_xb = -2.0 * (
+        jnp.einsum("nm,mc->nc", gb, xb, preferred_element_type=jnp.float32)
+        + jnp.einsum("mn,mc->nc", gb, xb,
+                     preferred_element_type=jnp.float32))
+    rs = jnp.sum(gb, axis=1, dtype=jnp.float32)
+    cs = jnp.sum(gb, axis=0, dtype=jnp.float32)
+    d_xx = (rs + cs)[:, None]
+    return d_xb.astype(xb.dtype), d_xx
+
+
+_centered_sqdist.defvjp(_cs_fwd, _cs_bwd)
 
 
 def _kth_smallest_per_row(d: Array, k: int, iters: int = 32) -> Array:

@@ -80,6 +80,36 @@ def test_bf16_cg_matvec_close_to_f32(rng):
     assert rel < 0.05, rel
 
 
+def test_centered_sqdist_custom_grad_matches_autodiff(rng):
+    """The relaxed gram's custom VJP (bf16 cotangent into the backward
+    dots) matches plain autodiff through the same primal up to the
+    cotangent quantisation (~0.4%)."""
+    from r3dfsseg_tpu.ops.lp import _centered_sqdist
+
+    n, c = 64, 16
+    xc = rng.normal(size=(n, c)).astype(np.float32)
+    xb = jnp.asarray(xc).astype(jnp.bfloat16)
+    xx = jnp.sum(jnp.asarray(xc) ** 2, axis=-1, keepdims=True)
+    w = jnp.asarray(rng.normal(size=(n, n)).astype(np.float32))
+
+    def primal(xb_, xx_):
+        inner = jnp.einsum("nc,mc->nm", xb_, xb_,
+                           preferred_element_type=jnp.float32)
+        return jnp.maximum(xx_ - 2.0 * inner + xx_.T, 0.0)
+
+    def loss(fn, xb_, xx_):
+        return jnp.sum(fn(xb_, xx_) * w)
+
+    g_ref = jax.grad(lambda a, b: loss(primal, a, b), argnums=(0, 1))(xb, xx)
+    g_got = jax.grad(lambda a, b: loss(_centered_sqdist, a, b),
+                     argnums=(0, 1))(xb, xx)
+    for got, ref in zip(g_got, g_ref):
+        got = np.asarray(got, np.float32)
+        ref = np.asarray(ref, np.float32)
+        cos = (got * ref).sum() / (np.linalg.norm(got) * np.linalg.norm(ref))
+        assert cos > 0.999, cos
+
+
 def test_bf16_affinity_returns_half_width_graph(rng):
     """Relaxed threshold mode stores the whole graph chain in bf16 (the
     solver's matvec copy would be bf16 anyway); values stay within one
