@@ -138,9 +138,13 @@ def _onehot_take(x: Array, idx: Array) -> Array:
     12x2048x20x64 on v5e — and unlike the scalar-core gather it runs on
     the MXU, so it overlaps with the VPU/scalar work around it."""
     b, n, c = x.shape
-    _, nq, k = idx.shape
-    oh = jax.nn.one_hot(idx.reshape(b, -1), n, dtype=x.dtype)
-    return jnp.einsum("bmn,bnc->bmc", oh, x).reshape(b, nq, k, c)
+    # 4-D dot (no post-einsum reshape): layout assignment hands the
+    # (B, NQ, K, C) result straight to the consumer conv — the 2-D
+    # `bmn,bnc->bmc` + reshape form paid ~470 us/layer of reshape +
+    # relayout copies after the dot (trace round 5; step A/B 25.7 vs
+    # 23.2 ms).  Exact either way: every output element is one product.
+    oh = jax.nn.one_hot(idx, n, dtype=x.dtype)                # (B, NQ, K, N)
+    return jnp.einsum("bikn,bnc->bikc", oh, x)
 
 
 def _take_fwd_impl(x: Array, idx: Array) -> Array:

@@ -50,6 +50,7 @@ def main():
     out = "/tmp/r3d_trace_auto"
     shutil.rmtree(out, ignore_errors=True)
     cfg = R3DConfig(episode_batch=1, lp_solver="cheby", lp_cg_iters=50,
+                    lp_adjoint_iters=30, bn_mode="fastvar",
                     compute_dtype="bfloat16")
     learner = bench._learner(cfg)
     batch = bench._batch(cfg, 1)

@@ -41,3 +41,15 @@ def test_scatter_exact_oracle(rng):
             for k in range(3):
                 want[b, idx[b, n, k]] += g[b, n, k]
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_onehot_take_matches_flat_take(rng):
+    """The TPU-default one-hot-einsum forward is elementwise exact vs the
+    flat take (every one-hot product is 0 or 1 x value), in f32 and bf16."""
+    from r3dfsseg_tpu.ops.fast_gather import _flat_take, _onehot_take
+    for dt in (np.float32, jnp.bfloat16):
+        x = jnp.asarray(rng.normal(size=(3, 32, 8))).astype(dt)
+        idx = jnp.asarray(rng.integers(0, 32, size=(3, 16, 5)).astype(np.int32))
+        np.testing.assert_array_equal(
+            np.asarray(_onehot_take(x, idx).astype(np.float32)),
+            np.asarray(_flat_take(x, idx).astype(np.float32)))
