@@ -37,7 +37,10 @@ REF_EPS_PER_SEC = 2.0
 # the device itself E=1 is fastest (the per-episode graph already fills the
 # chip) AND matches the reference's BN batch semantics exactly.
 EBATCH = 1
-CHAIN = 10  # steps per host sync: amortises the tunnel round-trip
+CHAIN = 30  # steps per host sync: amortises the tunnel round-trip.  At the
+# 18.5 ms device step, 10-step chains still left ~15% of the reported rate
+# to the container's ~30 ms tunnel RTT + dispatch; 30 steps bounds that at
+# ~5%.  On a real TPU host the per-step overhead is microseconds either way.
 
 
 def _learner(cfg):
