@@ -86,6 +86,11 @@ def build_parser(eval_mode: bool = False) -> argparse.ArgumentParser:
     p.add_argument("--n_head", type=int, default=8)
     p.add_argument("--d_feed", type=int, default=128)
     p.add_argument("--n_layers", type=int, default=3)
+    # Dead in the reference too: parsed at mpti_train_noise.py:241-242 and
+    # never read anywhere.  Kept so scripts written against the reference
+    # flag surface don't crash.
+    p.add_argument("--proto_path", type=str, default="")
+    p.add_argument("--num_spectra_group", type=int, default=4)
     # ---- TPU-only ----
     p.add_argument("--episode_batch", type=int, default=1,
                    help="episodes fused into one jit step")
