@@ -305,5 +305,130 @@ def main():
           f"({len(out)} arrays, fps calls: {len(FPS_CALLS)})")
 
 
+def cfg2():
+    """Second architecture preset: 3-way 2-shot, NO attention (the
+    reference's `linear_mapper` Conv1d branch, mpti.py:64-66,593-595).
+    Exercises episode-core semantics the default fixture can't: a 4-class
+    label-propagation label matrix, 3-way WayContrast negative borrowing,
+    and the 2-shot MDNS majority vote.  Writes
+    tests/fixtures/reference_parity_cfg2.npz (same schema; meta carries
+    use_attention so the parity tests configure MPTINet from it)."""
+    install_stubs()
+    sys.path.insert(0, "/root/reference")
+    from models.mpti import MPTI_SelfAtten  # noqa: E402
+
+    args = SimpleNamespace(
+        n_way=3, k_shot=2, pc_in_dim=9, pc_npts=64, use_attention=False,
+        n_subprototypes=6, k_connect=6, sigma=1.0,
+        edgeconv_widths=[[8, 8], [8, 8], [8, 8]], dgcnn_mlp_widths=[16, 16],
+        base_widths=[8, 8], output_dim=8, dgcnn_k=4, shot_seed=1,
+        dist_method="cosine")
+
+    torch.manual_seed(4242)
+    model = MPTI_SelfAtten(args)
+    zero_dropout(model)
+    gen = np.random.default_rng(20260819)
+    model.train()
+    with torch.no_grad():
+        for _ in range(4):
+            x = torch.tensor(gen.standard_normal(
+                (6, args.pc_in_dim, args.pc_npts)).astype(np.float32))
+            model.getFeatures(x)
+    sd = {k: v.detach().clone() for k, v in model.state_dict().items()}
+
+    fixtures = {
+        # all-clean 3-way episode -> borrowed negatives from the next way
+        "g0": make_episode(gen, 3, 2, 64, 9,
+                           fg_counts=[[20, 24], [18, 22], [16, 24]],
+                           flags=[[2, 2], [5, 5], [9, 9]], noisy_shots=[]),
+        # mixed flags on way 1 + a tiny-fg shot + a noisy shot for MDNS
+        "g1": make_episode(gen, 3, 2, 64, 9,
+                           fg_counts=[[20, 24], [3, 22], [16, 24]],
+                           flags=[[2, 2], [5, 8], [9, 9]],
+                           noisy_shots=[(1, 0)]),
+    }
+
+    w, k, npts = args.n_way, args.k_shot, args.pc_npts
+    out = {}
+    for name, ep in fixtures.items():
+        for field, arr in ep.items():
+            out[f"{name}/ep/{field}"] = arr
+        t = {kk: torch.tensor(v) for kk, v in ep.items()}
+
+        def fresh():
+            m = MPTI_SelfAtten(args)
+            m.load_state_dict(sd)
+            zero_dropout(m)
+            return m
+
+        m = fresh().eval()
+        with torch.no_grad():
+            sfeat = m.getFeatures(
+                t["support_x"].view(-1, 9, npts)).view(w, k, -1, npts)
+            out[f"{name}/support_feat_eval"] = sfeat.numpy()
+            pred, lp = m.forward(t["support_x"], t["support_y"],
+                                 t["query_x"], t["query_y"],
+                                 gt_support_y=t["gt_support_y"],
+                                 gt_query_y=t["gt_query_y"],
+                                 train=False, eval=False)
+        out[f"{name}/eval_plain/logits"] = pred.numpy()
+        out[f"{name}/eval_plain/lp_loss"] = np.float32(lp.item())
+
+        m = fresh().eval()
+        with torch.no_grad():
+            _, flags = m.Mean_pl_support_y_multi_scale(
+                sfeat, t["support_y"], t["gt_support_y"], t["support_x"])
+            out[f"{name}/eval_mdns/clean_flag"] = flags.numpy()
+            pred, lp = m.forward(t["support_x"], t["support_y"],
+                                 t["query_x"], t["query_y"],
+                                 gt_support_y=t["gt_support_y"],
+                                 gt_query_y=t["gt_query_y"],
+                                 train=False, eval=True)
+        out[f"{name}/eval_mdns/logits"] = pred.numpy()
+        out[f"{name}/eval_mdns/lp_loss"] = np.float32(lp.item())
+
+        m = fresh().train()
+        with torch.no_grad():
+            pred, lp, contrast, *_ = m.forward(
+                t["support_x"], t["support_y"], t["query_x"], t["query_y"],
+                gt_support_y=t["gt_support_y"], gt_query_y=t["gt_query_y"],
+                train=True, logger=_Logger(), support_flag=t["support_flag"])
+        out[f"{name}/train/logits"] = pred.numpy()
+        out[f"{name}/train/lp_loss"] = np.float32(lp.item())
+        out[f"{name}/train/contrast_loss"] = np.float32(contrast.item())
+
+        m = fresh().train()
+        pred, lp, contrast, *_ = m.forward(
+            t["support_x"], t["support_y"], t["query_x"], t["query_y"],
+            gt_support_y=t["gt_support_y"], gt_query_y=t["gt_query_y"],
+            train=True, logger=_Logger(), support_flag=t["support_flag"])
+        (lp + 0.1 * contrast).backward()
+        for pname, p in m.named_parameters():
+            if p.grad is not None:
+                out[f"{name}/train_grads/{pname}"] = p.grad.detach().numpy()
+
+    bad = [(n, r, m_) for (n, r, m_) in FPS_CALLS if m_ != round(r * n)]
+    assert not bad, f"fps float-ceil produced k+1 on {bad}; pick another seed"
+
+    for kk, v in sd.items():
+        out[f"sd/{kk}"] = v.numpy()
+    out["meta"] = np.frombuffer(json.dumps({
+        "n_way": 3, "k_shot": 2, "pc_npts": 64, "pc_in_dim": 9,
+        "n_subprototypes": 6, "k_connect": 6, "sigma": 1.0, "dgcnn_k": 4,
+        "edgeconv_widths": [[8, 8], [8, 8], [8, 8]],
+        "dgcnn_mlp_widths": [16, 16], "base_widths": [8, 8], "output_dim": 8,
+        "use_attention": False,
+        "fixtures": list(fixtures)}).encode(), dtype=np.uint8)
+
+    import os
+    os.makedirs("tests/fixtures", exist_ok=True)
+    np.savez_compressed("tests/fixtures/reference_parity_cfg2.npz", **out)
+    print(f"wrote tests/fixtures/reference_parity_cfg2.npz "
+          f"({len(out)} arrays, fps calls: {len(FPS_CALLS)})")
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "cfg2":
+        cfg2()
+    else:
+        main()
