@@ -9,7 +9,7 @@ Reference semantics (`/root/reference/models/mpti_learner.py:27-36`,
 """
 from __future__ import annotations
 
-from typing import Any, NamedTuple, Optional
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ batch_size=1) and optional data-parallel sharding over a device mesh.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
