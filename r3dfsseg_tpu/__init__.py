@@ -19,7 +19,7 @@ Design principles (TPU-first, not a port):
     the reference's single-GPU batch_size=1 loop.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 import os as _os
 
