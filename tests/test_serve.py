@@ -1,0 +1,58 @@
+"""Serving API: checkpoint round-trip + prediction agreement."""
+import numpy as np
+
+from r3dfsseg_tpu.config import tiny_config
+from r3dfsseg_tpu.models.episode import Episode
+
+
+def _episode(cfg, rng):
+    w, k, n, d = cfg.n_way, cfg.k_shot, cfg.pc_npts, cfg.pc_in_dim
+    q = cfg.n_queries * cfg.n_way
+    sy = (rng.uniform(size=(w, k, n)) < 0.3).astype(np.int32)
+    sy[..., 0] = 1
+    return Episode(
+        support_x=rng.normal(size=(w, k, n, d)).astype(np.float32),
+        support_y=sy,
+        query_x=rng.normal(size=(q, n, d)).astype(np.float32),
+        query_y=rng.integers(0, w + 1, size=(q, n)).astype(np.int32),
+        gt_support_y=sy.copy(),
+        gt_query_y=np.zeros((q, n), np.int32),
+        support_flag=np.ones((w, k), np.int32))
+
+
+def test_predictor_matches_learner_and_roundtrips(tmp_path, rng):
+    from r3dfsseg_tpu.learners import MPTILearner
+    from r3dfsseg_tpu.serve import FewShotPredictor
+    from r3dfsseg_tpu.utils.checkpoint import save_checkpoint
+
+    cfg = tiny_config(lp_cg_iters=10)
+    ep = _episode(cfg, rng)
+
+    learner = MPTILearner(cfg)
+    learner.init(ep)
+    learner.train(ep)                                    # non-init params
+    want, _, _ = learner.test(ep, eval_mdns=True)
+    save_checkpoint(str(tmp_path / "checkpoint.msgpack"), learner.state)
+
+    p = FewShotPredictor.from_checkpoint(str(tmp_path), cfg)
+    got = p.predict(np.asarray(ep.support_x), np.asarray(ep.support_y),
+                    np.asarray(ep.query_x))
+    assert got.shape == (cfg.n_way * cfg.n_queries, cfg.pc_npts)
+    assert got.dtype == np.int32 and got.min() >= 0 and got.max() <= cfg.n_way
+    np.testing.assert_array_equal(got, np.asarray(want)[0])
+    # jitted program reused: second call, same result
+    np.testing.assert_array_equal(
+        got, p(np.asarray(ep.support_x), np.asarray(ep.support_y),
+               np.asarray(ep.query_x)))
+
+
+def test_predictor_shape_guard(rng):
+    from r3dfsseg_tpu.serve import FewShotPredictor
+
+    cfg = tiny_config(lp_cg_iters=10)
+    p = FewShotPredictor(cfg)
+    import pytest
+    with pytest.raises(ValueError, match="episode shape mismatch"):
+        p.predict(np.zeros((3, 5, cfg.pc_npts, cfg.pc_in_dim)),
+                  np.zeros((3, 5, cfg.pc_npts)),
+                  np.zeros((2, cfg.pc_npts, cfg.pc_in_dim)))
