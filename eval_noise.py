@@ -168,15 +168,10 @@ def evaluate(cfg: R3DConfig):
         tar = os.path.join(cfg.model_checkpoint_path, "checkpoint.tar")
         if os.path.exists(tar):
             from r3dfsseg_tpu.utils.torch_convert import (
-                convert_mpti_model, load_torch_checkpoint)
+                convert_for_phase, load_torch_checkpoint)
             sd = load_torch_checkpoint(tar)
-            params, stats = convert_mpti_model(
-                sd, edgeconv_widths=cfg.edgeconv_widths,
-                dgcnn_mlp_widths=cfg.dgcnn_mlp_widths,
-                base_widths=cfg.base_widths, use_attention=cfg.use_attention)
-            learner.load_params({"features": params["features"],
-                                 **({"proj": params["proj"]} if "proj" in params else {})},
-                                {"features": stats["features"]})
+            params, stats = convert_for_phase(sd, cfg)
+            learner.load_params(params, stats)
             logger.cprint("Loaded converted reference checkpoint %s" % tar)
         else:
             raise ValueError(

@@ -79,18 +79,11 @@ class FewShotPredictor:
             _, state = load_checkpoint(path, self._learner.state)
             self._learner.state = state
         elif path.endswith(".tar"):
-            from r3dfsseg_tpu.utils.torch_convert import (convert_mpti_model,
+            from r3dfsseg_tpu.utils.torch_convert import (convert_for_phase,
                                                           load_torch_checkpoint)
             sd = load_torch_checkpoint(path)
-            params, stats = convert_mpti_model(
-                sd, edgeconv_widths=cfg.edgeconv_widths,
-                dgcnn_mlp_widths=cfg.dgcnn_mlp_widths,
-                base_widths=cfg.base_widths,
-                use_attention=cfg.use_attention)
-            self._learner.load_params(
-                {"features": params["features"],
-                 **({"proj": params["proj"]} if "proj" in params else {})},
-                {"features": stats["features"]})
+            params, stats = convert_for_phase(sd, cfg)
+            self._learner.load_params(params, stats)
         else:
             raise ValueError(f"no checkpoint found at {path!r}")
         return self

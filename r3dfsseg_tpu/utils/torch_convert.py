@@ -129,6 +129,29 @@ def convert_mpti_model(torch_state: Dict[str, np.ndarray], **kw) -> Tuple[dict, 
     return params, stats
 
 
+def convert_for_phase(torch_state: Dict[str, np.ndarray], cfg
+                      ) -> Tuple[dict, dict]:
+    """Dispatch a reference ``checkpoint.tar`` state_dict to the converter
+    that matches the session's phase, returning (params, batch_stats)
+    subtrees ready for ``learner.load_params``.
+
+    The reference loads every phase's checkpoint with ``strict=False``
+    (`checkpoint_util.py:34`), which would silently drop the transformer
+    head if the architectures disagreed; here the transformer phases get
+    the full head conversion (proj_trans_in/out, encoder layers, binary
+    outlier detector) at the config's --d_model/--n_head/--n_layers.
+    """
+    fe_kw = dict(edgeconv_widths=cfg.edgeconv_widths,
+                 dgcnn_mlp_widths=cfg.dgcnn_mlp_widths,
+                 base_widths=cfg.base_widths,
+                 use_attention=cfg.use_attention)
+    if cfg.phase in ("transformereval", "transformertrain"):
+        return convert_transformer_model(
+            torch_state, d_model=cfg.d_model, n_head=cfg.n_head,
+            n_layers=cfg.n_layers, **fe_kw)
+    return convert_mpti_model(torch_state, **fe_kw)
+
+
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     """Read a reference checkpoint .tar into a flat numpy dict.
 

@@ -46,6 +46,43 @@ def test_predictor_matches_learner_and_roundtrips(tmp_path, rng):
                np.asarray(ep.query_x)))
 
 
+def test_predictor_loads_reference_tar(tmp_path, rng):
+    """.tar branch: reference checkpoints convert on the fly, dispatched
+    by phase (transformer phases get the full head)."""
+    import dataclasses
+
+    import pytest
+    torch = pytest.importorskip("torch")
+    from r3dfsseg_tpu.serve import FewShotPredictor
+    from tests.test_torch_interop import (_reference_style_state_dict,
+                                          _transformer_extra_state)
+
+    cfg = tiny_config(lp_cg_iters=10)
+    sd = _reference_style_state_dict(cfg, rng)
+    sd.update(_transformer_extra_state(cfg, rng, d_model=16, n_head=2,
+                                       n_layers=1, d_feed=32))
+    torch.save({"model_state_dict": sd}, str(tmp_path / "checkpoint.tar"))
+
+    p = FewShotPredictor.from_checkpoint(str(tmp_path), cfg)
+    got = np.asarray(
+        p._learner.state.params["features"]["encoder"]["mlp0"]["conv"]["kernel"])
+    want = sd["encoder.conv.layer.0.weight"].numpy().squeeze(-1).T
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    ep = _episode(cfg, rng)
+    out = p.predict(np.asarray(ep.support_x), np.asarray(ep.support_y),
+                    np.asarray(ep.query_x))
+    assert out.shape == (cfg.n_way * cfg.n_queries, cfg.pc_npts)
+
+    cfg_t = dataclasses.replace(cfg, phase="transformereval",
+                                d_model=16, n_head=2, n_layers=1, d_feed=32)
+    pt = FewShotPredictor.from_checkpoint(str(tmp_path / "checkpoint.tar"),
+                                          cfg_t)
+    assert "transformer" in pt._learner.state.params
+    out = pt.predict(np.asarray(ep.support_x), np.asarray(ep.support_y),
+                     np.asarray(ep.query_x))
+    assert out.shape == (cfg.n_way * cfg.n_queries, cfg.pc_npts)
+
+
 def test_predictor_shape_guard(rng):
     from r3dfsseg_tpu.serve import FewShotPredictor
 

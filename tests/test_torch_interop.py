@@ -93,6 +93,66 @@ def test_reference_tar_roundtrip(tmp_path, rng):
     assert np.isfinite(float(loss))
 
 
+def _transformer_extra_state(cfg, gen, d_model, n_head, n_layers, d_feed):
+    """Head tensors named like the reference ProtoNet_transformer
+    (protonet.py:1107-1155: proj_trans_in/out Parameters, torch
+    TransformerEncoder layers, binary_outlier_detector.fc)."""
+    t = lambda *shape: torch.tensor(  # noqa: E731
+        gen.normal(size=shape).astype(np.float32) * 0.1)
+    sd = {
+        "proj_trans_in": t(cfg.feat_dim, d_model),
+        "proj_trans_out": t(cfg.feat_dim, d_model),
+        "transformer.cls_embeddings.weight": t(cfg.n_way, d_model),
+        "transformer.pos_embeddings.weight": t(cfg.n_way, d_model),
+        "binary_outlier_detector.fc.weight": t(1, cfg.feat_dim),
+        "binary_outlier_detector.fc.bias": t(1),
+    }
+    for i in range(n_layers):
+        g = f"transformer.encoder.layers.{i}."
+        sd[g + "self_attn.in_proj_weight"] = t(3 * d_model, d_model)
+        sd[g + "self_attn.in_proj_bias"] = t(3 * d_model)
+        sd[g + "self_attn.out_proj.weight"] = t(d_model, d_model)
+        sd[g + "self_attn.out_proj.bias"] = t(d_model)
+        sd[g + "linear1.weight"] = t(d_feed, d_model)
+        sd[g + "linear1.bias"] = t(d_feed)
+        sd[g + "linear2.weight"] = t(d_model, d_feed)
+        sd[g + "linear2.bias"] = t(d_model)
+        for n in ("norm1", "norm2"):
+            sd[g + n + ".weight"] = t(d_model)
+            sd[g + n + ".bias"] = t(d_model)
+    return sd
+
+
+def test_convert_for_phase_dispatch(rng):
+    """convert_for_phase routes transformer phases to the full-head
+    converter at the config's --d_model/--n_head/--n_layers, and every
+    other phase to the MPTI converter."""
+    import dataclasses
+
+    from r3dfsseg_tpu.utils.torch_convert import convert_for_phase
+
+    cfg = tiny_config()
+    sd = _reference_style_state_dict(cfg, rng)
+    sd.update(_transformer_extra_state(cfg, rng, d_model=16, n_head=2,
+                                       n_layers=2, d_feed=32))
+    flat = {k: np.asarray(v) for k, v in sd.items()}
+
+    cfg_t = dataclasses.replace(cfg, phase="transformereval",
+                                d_model=16, n_head=2, n_layers=2, d_feed=32)
+    params, stats = convert_for_phase(flat, cfg_t)
+    assert "transformer" in params and "binary_outlier_detector" in params
+    assert "layer1" in params["transformer"]
+    # qkv heads split at the config's d_model/n_head, not the defaults
+    q = params["transformer"]["layer0"]["self_attn"]["query"]["kernel"]
+    assert q.shape == (16, 2, 8)
+    assert "features" in params and "features" in stats
+
+    cfg_m = dataclasses.replace(cfg, phase="mptinoise_eval")
+    params_m, _ = convert_for_phase(flat, cfg_m)
+    assert "transformer" not in params_m
+    assert set(params_m) == {"features", "proj"}
+
+
 def test_pretrain_tar_encoder_prefix(tmp_path, rng):
     """Pretrain checkpoints store encoder keys without the 'encoder.' prefix
     (checkpoint_util.py:46-50); the loader re-adds it (…:16)."""
