@@ -46,7 +46,13 @@ def pairwise_sqdist(x: Array, y: Array | None = None,
         preferred_element_type=jnp.float32,
         precision=precision,
     )
-    d = xx - 2.0 * inner + jnp.swapaxes(yy, -1, -2)
+    # Grouping matters: (xx + yy^T) - 2*inner makes the self-distance
+    # matrix (y is x) EXACTLY symmetric — both addends are symmetric, so
+    # the rounded result is too — where the naive xx - 2*inner + yy^T
+    # leaves d_ij and d_ji apart by an ulp (different association order).
+    # Downstream threshold selection sits exactly on the k-th boundary
+    # value, so ulp twins there would flip mirrored memberships.
+    d = (xx + jnp.swapaxes(yy, -1, -2)) - 2.0 * inner
     return jnp.maximum(d, 0.0)
 
 

@@ -181,14 +181,24 @@ def local_constrained_affinity(
         raise NotImplementedError(f"unknown affinity method {method!r}")
 
     if impl == "threshold":
-        a = jnp.where(sel_cmp <= radius, sim_full,
-                      jnp.zeros((), out_dtype))
+        # Symmetrise WITHOUT a transpose: sqd is numerically symmetric
+        # (one gram, uniform accumulation order), so sim_ji == sim_ij and
+        # (A_knn + A_knn^T)_ij = sim_ij * ((d_ij <= r_i) + (d_ij <= r_j)).
+        # The elementwise form replaces `a + a.T` — whose (4396^2) operand
+        # needed a physical layout-transpose copy in BOTH fwd and bwd
+        # (~125 us each at bf16 on v5e) — with one fused pass over the
+        # local tile.  Invalid rows disagree with their mirrored columns
+        # under _masked, but the v_i*v_j factor below zeroes exactly those
+        # entries, so the result matches the transpose form bit-for-bit
+        # (tests/test_ops.py::test_threshold_affinity_no_transpose_form).
+        cnt = ((sel_cmp <= radius).astype(out_dtype)
+               + (sel_cmp <= radius.reshape(1, -1)).astype(out_dtype))
+        a = sim_full * cnt
     else:
         sim = jnp.take_along_axis(sim_full, idx, axis=1)
         a = jnp.zeros((n, n), jnp.float32).at[
             jnp.arange(n)[:, None], idx].set(sim)
-
-    a = a + a.T                                      # symmetrise (mpti.py:752)
+        a = a + a.T                                  # symmetrise (mpti.py:752)
     a = jnp.where(eye, jnp.zeros((), a.dtype), a)    # zero diagonal (mpti.py:754-755)
     if valid is not None:
         v = valid.astype(a.dtype)
@@ -208,7 +218,9 @@ def _centered_sqdist(xb: Array, xx: Array) -> Array:
     (cotangent store + two dot reads + the xx reduce) at N=4396."""
     inner = jnp.einsum("nc,mc->nm", xb, xb,
                        preferred_element_type=jnp.float32)
-    return jnp.maximum(xx - 2.0 * inner + xx.T, 0.0)
+    # (xx + xx^T) - 2*inner: exactly symmetric (see ops/knn.py) — the
+    # no-transpose symmetrise in local_constrained_affinity relies on it.
+    return jnp.maximum((xx + xx.T) - 2.0 * inner, 0.0)
 
 
 def _cs_fwd(xb, xx):

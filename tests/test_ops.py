@@ -226,6 +226,32 @@ def test_affinity_auto_sigma_respects_valid_mask(rng):
     assert a.max() > 0.01
 
 
+def test_threshold_affinity_no_transpose_form(rng):
+    """The threshold path computes A_knn + A_knn^T as the elementwise
+    sim * ((d<=r_i) + (d<=r_j)) — no transpose.  Pin the two observable
+    consequences: one-way edges carry sim once, mutual edges twice, and
+    the output is exactly symmetric (also in bf16 compare mode with a
+    valid mask)."""
+    # On a line: A=0, B=1, C=1.6.  k=1 (self excluded): A->B, B->C, C->B.
+    x = np.array([[0.0], [1.0], [1.6]], np.float32)
+    a = np.asarray(local_constrained_affinity(jnp.asarray(x), k=1,
+                                              sigma=1.0))
+    sim = lambda d2: np.exp(-0.5 * d2)  # noqa: E731
+    np.testing.assert_allclose(a[0, 1], sim(1.0), rtol=1e-6)       # one-way
+    np.testing.assert_allclose(a[1, 2], 2 * sim(0.36), rtol=1e-6)  # mutual
+    assert a[0, 2] == 0 and a[2, 0] == 0
+    np.testing.assert_array_equal(a, a.T)
+
+    xb = rng.normal(size=(40, 8)).astype(np.float32)
+    valid = np.ones(40, bool); valid[33:] = False
+    ab = np.asarray(local_constrained_affinity(
+        jnp.asarray(xb), k=6, sigma=0.0, valid=jnp.asarray(valid),
+        compare_dtype=jnp.bfloat16))
+    np.testing.assert_array_equal(ab, ab.T)
+    assert (np.diag(ab) == 0).all()
+    assert (ab[33:] == 0).all() and (ab[:, 33:] == 0).all()
+
+
 # ------------------------------------------------------------------ lp ----
 def _lp_oracle(a, y, alpha=0.99):
     """Transliteration of label_propagate (mpti.py:758-776)."""
