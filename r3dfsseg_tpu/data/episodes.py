@@ -239,3 +239,184 @@ class NoisyEpisodeSampler(EpisodeSampler):
             support_flag=np.stack(flags).astype(np.int32),
             sampled_classes=sampled_classes.astype(np.int32),
         )
+
+    # ------------------------------------------------------------------
+    def sample_augmented(self, n_way_classes: Optional[Sequence[int]] = None,
+                         *, n_bg_cls: int = 4, per_bg: int = 3):
+        """Episode plus self-supervised auxiliary views
+        (`generate_one_episode_Augment`, loader.py:892-1188).
+
+        Beyond the regular noisy episode, every support shot (clean and
+        noisy) and a handful of background clouds contribute two extra
+        views drawn from the same scans:
+
+          * a fresh 1024-point subsample (independent point choice and
+            augmentation draw, loader.py:966-977,1044-1057);
+          * a segment-cutout view of the 2048-point cloud: the largest
+            foreground segment is zeroed in both coordinates and mask
+            (`cut_out`, loader.py:1191-1238).
+
+        Returns ``(episode, aux)`` with
+        ``aux = {pcd_1024 (n,1024,a), label_1024 (n,1024),
+        pcd_cutout (n,num_point,a), label_cutout (n,num_point)}`` where
+        ``n = n_way*k_shot + n_bg_cls*per_bg`` and the rows are ordered
+        way-by-way clean-then-noisy (pre-shuffle), then background — the
+        reference's aggregation order.  Supported noise types match the
+        reference's branch (sym/ood at meta-test, 'train' range at
+        meta-train; loader.py:926-934)."""
+        rng = self.rng
+        if n_way_classes is not None:
+            sampled_classes = np.asarray(n_way_classes)
+        else:
+            sampled_classes = rng.choice(self.classes, self.n_way,
+                                         replace=False)
+        if self.mode == "train":
+            ratio = rng.choice(np.asarray(self.noise_ratio, np.float64))
+        else:
+            ratio = float(self.noise_ratio)
+        num_noise = int(round(self.k_shot * ratio))
+
+        if self.mode == "test":
+            if self.noise_type == "sym":
+                noise_range = list(sampled_classes)
+            elif self.noise_type == "ood":
+                noise_range = [c for c in self.classes
+                               if c not in sampled_classes]
+            else:
+                raise NotImplementedError(
+                    "augmented episodes implement sym/ood meta-test noise "
+                    "(loader.py:927-934)")
+        else:
+            noise_range = list(self.classes)
+
+        sup_x, sup_y, q_x, q_y = [], [], [], []
+        gt_sup, gt_q, flags = [], [], []
+        pcd_1024, label_1024 = [], []
+        pcd_co, label_co, cluster_co = [], [], []
+        blacklist: list = []
+
+        def _sample(names, cls, npts, *, want_cluster=False):
+            pt, lb, gt, cl = sample_k_scans(
+                self.data_path, npts, self.pc_attribs, names,
+                sampled_class=cls, sampled_classes=sampled_classes,
+                is_support=True, pc_augm=self.pc_augm,
+                pc_augm_config=self.pc_augm_config, rng=rng)
+            return (pt, lb, gt, cl) if want_cluster else (pt, lb, gt)
+
+        for cls in sampled_classes:
+            cls = int(cls)
+            names = [s for s in self.class2scans[cls] if s not in blacklist]
+            pick = rng.choice(names, self.k_shot - num_noise + self.n_queries,
+                              replace=False)
+            blacklist.extend(pick)
+            q_names = pick[:self.n_queries]
+            clean_names = pick[self.n_queries:]
+
+            sp, sl, sg, sc = _sample(clean_names, cls, self.num_point,
+                                     want_cluster=True)
+            p1, l1, _ = _sample(clean_names, cls, 1024)
+            pcd_1024.append(p1); label_1024.append(l1)
+            pcd_co.append(sp); label_co.append(sl); cluster_co.append(sc)
+
+            qp, ql, qg, _ = sample_k_scans(
+                self.data_path, self.num_point, self.pc_attribs, q_names,
+                sampled_class=cls, sampled_classes=sampled_classes,
+                is_support=False, pc_augm=self.pc_augm,
+                pc_augm_config=self.pc_augm_config, rng=rng)
+
+            flag = np.zeros(self.k_shot)
+            flag[:len(clean_names)] = cls
+
+            way_range = list(noise_range)
+            noisy_cls = cls
+            for i in range(num_noise):
+                noisy_cls = cls
+                while noisy_cls == cls:
+                    noisy_cls = int(rng.choice(way_range))
+                cands = [s for s in self.class2scans[noisy_cls]
+                         if s not in blacklist]
+                scan = rng.choice(cands, 1, replace=False)
+                blacklist.extend(scan)
+                npnt, nlab, ngt, ncl = _sample(scan, noisy_cls,
+                                               self.num_point,
+                                               want_cluster=True)
+                sp = np.concatenate([sp, npnt])
+                sl = np.concatenate([sl, nlab])
+                sg = np.concatenate([sg, ngt])
+                p1, l1, _ = _sample(scan, noisy_cls, 1024)
+                pcd_1024.append(p1); label_1024.append(l1)
+                pcd_co.append(npnt); label_co.append(nlab)
+                cluster_co.append(ncl)
+                flag[len(clean_names) + i] = noisy_cls
+                # reference quirk: its per-draw counter dict resets every
+                # iteration, so a drawn class is dropped from the range
+                # iff k_shot - num_noise - 1 == 1 (loader.py:1011,1065-1068)
+                if self.k_shot - num_noise - 1 == 1:
+                    way_range.remove(noisy_cls)
+
+            if num_noise > 0 and noisy_cls != cls:
+                sg[-num_noise:] = 0          # loader.py:1075-1076
+
+            order = rng.permutation(self.k_shot)  # loader.py:1079-1081
+            sup_x.append(sp[order]); sup_y.append(sl[order])
+            gt_sup.append(sg[order]); flags.append(flag[order])
+            q_x.append(qp); q_y.append(ql); gt_q.append(qg)
+
+        # background clouds: n_bg_cls distinct classes drawn from the FULL
+        # class list (the reference does not exclude the episode's ways,
+        # loader.py:1133-1136), per_bg scans each, both views
+        bg_list = [c for c in self.classes]
+        for _ in range(min(n_bg_cls, len(bg_list))):
+            bg_cls = int(rng.choice(bg_list))
+            bg_list.remove(bg_cls)
+            cands = [s for s in self.class2scans[bg_cls]
+                     if s not in blacklist]
+            scans = rng.choice(cands, per_bg, replace=False)
+            blacklist.extend(scans)
+            bp, bl, _, bc = _sample(scans, bg_cls, self.num_point,
+                                    want_cluster=True)
+            pcd_co.append(bp); label_co.append(bl); cluster_co.append(bc)
+            p1, l1, _ = _sample(scans, bg_cls, 1024)
+            pcd_1024.append(p1); label_1024.append(l1)
+
+        cut_x, cut_y = cut_out(np.concatenate(pcd_co),
+                               np.concatenate(label_co),
+                               np.concatenate(cluster_co))
+        aux = {
+            "pcd_1024": np.concatenate(pcd_1024).astype(np.float32),
+            "label_1024": np.concatenate(label_1024).astype(np.int32),
+            "pcd_cutout": cut_x.astype(np.float32),
+            "label_cutout": cut_y.astype(np.int32),
+        }
+        episode = Episode(
+            support_x=np.stack(sup_x).astype(np.float32),
+            support_y=np.stack(sup_y).astype(np.int32),
+            query_x=np.concatenate(q_x).astype(np.float32),
+            query_y=np.concatenate(q_y).astype(np.int32),
+            gt_support_y=np.stack(gt_sup).astype(np.int32),
+            gt_query_y=np.concatenate(gt_q).astype(np.int32),
+            support_flag=np.stack(flags).astype(np.int32),
+            sampled_classes=sampled_classes.astype(np.int32),
+        )
+        return episode, aux
+
+
+def cut_out(pcd: np.ndarray, label: np.ndarray, cluster: np.ndarray):
+    """Segment-cutout corruption (`NoiseInMetaTest.cut_out`,
+    loader.py:1191-1238): per cloud, find the largest foreground segment
+    (mode of the cluster column over label==1 points) and, when the cloud
+    has more than one fg segment, zero that segment's attributes and mask.
+
+    pcd (n, p, a) float, label (n, p) int, cluster (n, p) int →
+    (pcd', label') copies."""
+    out_x = pcd.copy()
+    out_y = label.copy()
+    for i in range(pcd.shape[0]):
+        seg_ids, seg_counts = np.unique(cluster[i][label[i] == 1],
+                                        return_counts=True)
+        if len(seg_ids) > 1:
+            target = seg_ids[np.argmax(seg_counts)]
+            m = cluster[i] == target
+            out_y[i][m] = 0
+            out_x[i][m, :] = 0.0
+    return out_x, out_y

@@ -137,6 +137,61 @@ def test_noisy_episode_sampler_test_mode(ds, noise_type):
                 assert ep.gt_support_y[w, k].sum() == 0
 
 
+def test_cut_out_masks_largest_segment():
+    """cut_out (loader.py:1191-1238): the largest fg segment is zeroed in
+    both attributes and mask, but only when the cloud has >1 fg segment."""
+    from r3dfsseg_tpu.data import cut_out
+    pcd = np.ones((2, 8, 3), np.float32)
+    label = np.array([[1, 1, 1, 0, 0, 0, 1, 0],
+                      [1, 1, 0, 0, 0, 0, 0, 0]])
+    cluster = np.array([[5, 5, 5, 2, 2, 2, 7, 2],
+                        [3, 3, 3, 3, 4, 4, 4, 4]])
+    out_x, out_y = cut_out(pcd, label, cluster)
+    # cloud 0: fg segments {5: 3 pts, 7: 1 pt} -> segment 5 removed entirely
+    assert out_y[0].tolist() == [0, 0, 0, 0, 0, 0, 1, 0]
+    assert np.all(out_x[0, :3] == 0) and np.all(out_x[0, 3:] == 1)
+    # cloud 1: single fg segment -> untouched
+    assert np.array_equal(out_y[1], label[1])
+    assert np.all(out_x[1] == 1)
+    # inputs not mutated
+    assert label[0, 0] == 1 and pcd[0, 0, 0] == 1
+
+
+def test_sample_augmented_views(ds):
+    """generate_one_episode_Augment (loader.py:892-1188): the episode keeps
+    regular noisy semantics while every support shot + bg cloud yields a
+    fresh 1024-pt view and a segment-cutout view."""
+    n_way, k_shot, num_point = 2, 3, 128
+    s = NoisyEpisodeSampler(ds, "s3dis", cvfold=0, n_way=n_way,
+                            k_shot=k_shot, n_queries=1, mode="test",
+                            num_point=num_point, noise_ratio=1 / 3,
+                            noise_type="ood", seed=4)
+    ep, aux = s.sample_augmented(n_bg_cls=2, per_bg=2)
+    n = n_way * k_shot + 2 * 2
+    assert aux["pcd_1024"].shape == (n, 1024, 9)
+    assert aux["label_1024"].shape == (n, 1024)
+    assert aux["pcd_cutout"].shape == (n, num_point, 9)
+    assert aux["label_cutout"].shape == (n, num_point)
+    # every view has foreground pre-cutout (bg clouds are labeled vs their
+    # own class)
+    assert np.all(aux["label_1024"].sum(1) > 0)
+    # synthetic scans hold 2 objects per class, so cuts fire: some cloud
+    # has points fully zeroed by the cutout
+    zeroed = np.all(aux["pcd_cutout"] == 0, axis=2)
+    assert zeroed.any()
+    # and zeroed points are never foreground
+    assert not np.any(zeroed & (aux["label_cutout"] == 1))
+    # the episode itself keeps the regular noisy-episode contract
+    n_noise = int(round(k_shot * (1 / 3)))
+    for w in range(n_way):
+        cls = ep.sampled_classes[w]
+        flags = ep.support_flag[w]
+        assert int((flags != cls).sum()) == n_noise
+        assert set(flags[flags != cls].tolist()).isdisjoint(
+            ep.sampled_classes.tolist())
+        for k in range(k_shot):
+            if flags[k] != cls:
+                assert ep.gt_support_y[w, k].sum() == 0
 def test_noisy_train_mode_ratio_list(ds):
     s = NoisyEpisodeSampler(ds, "s3dis", cvfold=0, n_way=2, k_shot=5,
                             n_queries=1, mode="train", num_point=128,
