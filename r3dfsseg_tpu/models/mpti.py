@@ -290,6 +290,56 @@ def _contrast_prototypes(
 
 
 # ----------------------------------------------------------------------
+def episode_graph_nodes(
+    support_feat: Array,   # (n_way, k_shot, N, d)
+    fg_used: Array,        # (n_way, k_shot, N) bool — MDNS-filtered fg
+    fg: Array,             # (n_way, k_shot, N) bool — raw fg masks
+    cfg: R3DConfig,
+):
+    """Multi-prototype graph nodes (mpti.py:488-489,597-715): FPS fg
+    prototypes per way from the (possibly MDNS-filtered) fg points, bg
+    prototypes from the raw complement, in the reference node order
+    [bg | way0 | way1 | ...].  Shared by the episode core and the
+    whole-scene serving path.
+
+    FPS perf notes (v5e traces, round 3): the 100-iteration loop costs
+    ~10 us/iteration, half in the (P, 192) distance update (VPU-bound —
+    the feature matrix stays VMEM-resident, so a bf16 copy does NOT help;
+    measured identical) and half in the argmax/dynamic-slice latency
+    (merging ways+bg into one padded vmapped loop also measured SLOWER —
+    the pad rows triple the VPU work).  Both rewrites were reverted.
+
+    Returns (protos ((w+1)*P, d), pvalid ((w+1)*P,), proto_labels
+    ((w+1)*P, n_classes), fg_assign (w, k*N) prototype assignments for
+    diagnostics)."""
+    c = cfg
+    n_way, k_shot, n, d = support_feat.shape
+    np_ = c.n_subprototypes
+    flat = support_feat.reshape(n_way, k_shot * n, d)
+    fg_flat = fg_used.reshape(n_way, k_shot * n)
+    fg_mp = jax.vmap(lambda f, m: multi_prototypes(
+        f, m, np_, impl=c.fps_impl))(flat, fg_flat)
+    fg_assign = fg_mp.assignments                      # (n_way, k_shot*n)
+
+    bg_feat_all = support_feat.reshape(n_way * k_shot * n, d)
+    bg_mask_all = (~fg).reshape(-1)                    # raw complement (mpti.py:486)
+    bg_mp = multi_prototypes(bg_feat_all, bg_mask_all, np_, impl=c.fps_impl)
+
+    # node order: [bg | way0 | way1 | ... | queries] (mpti.py:493-508)
+    protos = jnp.concatenate(
+        [bg_mp.prototypes[None], fg_mp.prototypes], axis=0
+    ).reshape((n_way + 1) * np_, d)
+    pvalid = jnp.concatenate(
+        [bg_mp.proto_valid[None], fg_mp.proto_valid], axis=0
+    ).reshape((n_way + 1) * np_)
+
+    cls_of_block = jnp.arange(n_way + 1)               # bg=0, way i -> i+1
+    block_labels = jax.nn.one_hot(cls_of_block, c.n_classes)  # (w+1, cls)
+    proto_labels = jnp.repeat(block_labels, np_, axis=0) * pvalid[:, None]
+    return protos, pvalid, proto_labels, fg_assign
+
+
+# ----------------------------------------------------------------------
 def _mpti_core(
     support_feat: Array,   # (n_way, k_shot, N, d)
     query_feat: Array,     # (n_q*n_way, N, d)
@@ -329,42 +379,16 @@ def _mpti_core(
     else:
         fg_used = fg
 
-    # ---- multi-prototypes (mpti.py:488-489,597-715) ----
-    # FPS perf notes (v5e traces, round 3): the 100-iteration loop costs
-    # ~10 us/iteration, half in the (P, 192) distance update (VPU-bound —
-    # the feature matrix stays VMEM-resident, so a bf16 copy does NOT help;
-    # measured identical) and half in the argmax/dynamic-slice latency
-    # (merging ways+bg into one padded vmapped loop also measured SLOWER —
-    # the pad rows triple the VPU work).  Both rewrites were reverted.
-    flat = support_feat.reshape(n_way, k_shot * n, d)
-    fg_flat = fg_used.reshape(n_way, k_shot * n)
-    fg_mp = jax.vmap(lambda f, m: multi_prototypes(
-        f, m, np_, impl=c.fps_impl))(flat, fg_flat)
-    fg_assign = fg_mp.assignments                      # (n_way, k_shot*n)
-
-    bg_feat_all = support_feat.reshape(n_way * k_shot * n, d)
-    bg_mask_all = (~fg).reshape(-1)                    # raw complement (mpti.py:486)
-    bg_mp = multi_prototypes(bg_feat_all, bg_mask_all, np_, impl=c.fps_impl)
-
-    # node order: [bg | way0 | way1 | ... | queries] (mpti.py:493-508)
-    protos = jnp.concatenate(
-        [bg_mp.prototypes[None], fg_mp.prototypes], axis=0
-    ).reshape((n_way + 1) * np_, d)
-    pvalid = jnp.concatenate(
-        [bg_mp.proto_valid[None], fg_mp.proto_valid], axis=0
-    ).reshape((n_way + 1) * np_)
-
-    n_classes = c.n_classes
-    cls_of_block = jnp.arange(n_way + 1)               # bg=0, way i -> i+1
-    block_labels = jax.nn.one_hot(cls_of_block, n_classes)  # (w+1, cls)
-    proto_labels = jnp.repeat(block_labels, np_, axis=0) * pvalid[:, None]
+    protos, pvalid, proto_labels, fg_assign = episode_graph_nodes(
+        support_feat, fg_used, fg, c)
 
     qflat = query_feat.reshape(-1, d)
     node_feat = jnp.concatenate([protos, qflat], axis=0)
     node_valid = jnp.concatenate(
         [pvalid, jnp.ones(qflat.shape[0], bool)], axis=0)
     y0 = jnp.concatenate(
-        [proto_labels, jnp.zeros((qflat.shape[0], n_classes), jnp.float32)], axis=0)
+        [proto_labels, jnp.zeros((qflat.shape[0], c.n_classes), jnp.float32)],
+        axis=0)
 
     # ---- affinity + label propagation (mpti.py:511-512,717-776) ----
     # bf16 mode extends the relaxed-precision contract to the graph's
@@ -383,7 +407,7 @@ def _mpti_core(
 
     n_protos = (n_way + 1) * np_
     query_logits = z[n_protos:].reshape(
-        c.n_queries * n_way, n, n_classes)             # (q, N, cls)
+        c.n_queries * n_way, n, c.n_classes)           # (q, N, cls)
 
     # ---- cross-entropy (mpti.py:571,778-781) ----
     logp = jax.nn.log_softmax(query_logits, axis=-1)
@@ -400,7 +424,7 @@ def _mpti_core(
     if train and ep.gt_support_y is not None:
         # clean ratio after LP: per way, diffuse prototype predictions back
         # to their assigned fg points and compare with the clean gt mask.
-        proto_block = z[:n_protos].reshape(n_way + 1, np_, n_classes)
+        proto_block = z[:n_protos].reshape(n_way + 1, np_, c.n_classes)
         proto_pred = jnp.argmax(proto_block[1:], axis=-1)       # (w, NP)
         way_ids = jnp.arange(n_way)[:, None]
         proto_is_cls = (proto_pred == way_ids + 1)              # (w, NP)

@@ -248,16 +248,24 @@ def _cs_bwd(res, g):
 _centered_sqdist.defvjp(_cs_fwd, _cs_bwd)
 
 
-def _kth_smallest_per_row(d: Array, k: int, iters: int = 32) -> Array:
+def _kth_smallest_per_row(d: Array, k: int, iters: int = 32,
+                          hi: Array | None = None) -> Array:
     """Per-row k-th smallest value via vectorised bisection on the value
     range.  Each iteration is one elementwise pass + row-sum over the
     matrix — bandwidth-bound, no sort.  Returns (N, 1), the smallest
     per-row radius t with |{j : d_ij <= t}| >= k (up to f32 bisection
-    resolution, biased upward so at least k neighbours survive)."""
-    finite = jnp.where(d >= 0.5 * _BIG, -jnp.inf, d)
+    resolution, biased upward so at least k neighbours survive).
+
+    ``hi`` optionally fixes the bisection's upper bound (default: max
+    finite entry of d).  The node-sharded path passes the pmax over all
+    row blocks so every device bisects the same interval and the sharded
+    radii match the unsharded ones bit-for-bit."""
+    if hi is None:
+        finite = jnp.where(d >= 0.5 * _BIG, -jnp.inf, d)
+        hi = jnp.maximum(
+            jnp.max(jnp.where(jnp.isfinite(finite), finite, 0.0)), 1e-6)
     lo = jnp.zeros((d.shape[0], 1), jnp.float32)
-    hi = jnp.full((d.shape[0], 1), 1.0, jnp.float32) * jnp.maximum(
-        jnp.max(jnp.where(jnp.isfinite(finite), finite, 0.0)), 1e-6)
+    hi = jnp.full((d.shape[0], 1), 1.0, jnp.float32) * hi
 
     def body(_, carry):
         lo, hi = carry

@@ -1,6 +1,9 @@
-"""Multi-chip scaling: episode-data-parallel over a jax.sharding.Mesh."""
+"""Multi-chip scaling: episode-data-parallel over a jax.sharding.Mesh,
+plus sequence-parallel (node-sharded) label propagation for graphs larger
+than one chip."""
 from r3dfsseg_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
     shard_episode,
     replicate,
 )
+from r3dfsseg_tpu.parallel.sp import sp_label_propagate  # noqa: F401

@@ -128,3 +128,118 @@ class FewShotPredictor:
         return np.asarray(pred[0] if pred.ndim == 3 else pred)
 
     __call__ = predict
+
+    # ------------------------------------------------------------------
+    def predict_scene(self, support_x: np.ndarray, support_y: np.ndarray,
+                      scene_xyz: np.ndarray, scene_rgb: Optional[np.ndarray]
+                      = None, *, mesh=None, cell: float = 1.0) -> np.ndarray:
+        """Segment a WHOLE scene in one transductive graph.
+
+        The reference can only evaluate independent 2048-point blocks (its
+        graph is one dense matrix on one GPU, mpti.py:717-776).  Here the
+        scene's P points all join a single label-propagation graph with the
+        support prototypes, and that graph is node-sharded over ``mesh``
+        (`parallel.sp_label_propagate`) when one is given — the node count
+        scales with the mesh's aggregate HBM, not one chip.
+
+        Args:
+          support_x / support_y: as `predict`.
+          scene_xyz: (P, 3) raw scene coordinates.
+          scene_rgb: optional (P, 3) colors in [0, 1] (zeros if omitted).
+          mesh: optional 1-D `jax.sharding.Mesh` to shard the graph over.
+          cell: spatial sort granularity (metres) for grouping points into
+            encoder blocks — the serving analogue of the reference's 1m
+            block preprocessing.
+        Returns:
+          (P,) int32 labels (0 = bg, 1..n_way) in the input point order.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        c = self.cfg
+        if c.pc_in_dim != 9:
+            raise NotImplementedError(
+                "predict_scene assembles xyzrgbXYZ attributes (9-d)")
+        n = c.pc_npts
+        xyz = np.asarray(scene_xyz, np.float32)
+        p = xyz.shape[0]
+        rgb = (np.zeros((p, 3), np.float32) if scene_rgb is None
+               else np.asarray(scene_rgb, np.float32))
+
+        # ---- spatial sort -> fixed-size encoder blocks ----
+        mn = xyz.min(0)
+        cid = np.floor((xyz[:, :2] - mn[:2]) / max(cell, 1e-6)).astype(np.int64)
+        order = np.lexsort((xyz[:, 2], cid[:, 1], cid[:, 0]))
+        n_blocks = (p + n - 1) // n
+        pad = n_blocks * n - p
+        idx = np.resize(order, n_blocks * n)   # cycle points into the pad
+        blocks_xyz = xyz[idx].reshape(n_blocks, n, 3)
+        blocks_rgb = rgb[idx].reshape(n_blocks, n, 3)
+        # per-block min-shift + scene-extent normalisation, the sampler's
+        # attribute conventions (data/sampler.py; loader.py:200-219)
+        local = blocks_xyz - blocks_xyz.min(axis=1, keepdims=True)
+        scene_norm = xyz - mn
+        scale = np.maximum(scene_norm.max(0), 1e-6)
+        glob = (blocks_xyz - mn) / scale
+        blocks = np.concatenate([local, blocks_rgb, glob], axis=-1)
+
+        # ---- encode (eval-mode BN: block batching is semantics-free) ----
+        model = self._learner.model
+        state = self._learner.state
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+        def enc(m, x):
+            return m.features(x, train=False)
+
+        scene_feat = model.apply(variables, jnp.asarray(blocks), method=enc)
+        d = scene_feat.shape[-1]
+        scene_feat = scene_feat.reshape(n_blocks * n, d)
+
+        # ---- support prototypes (MDNS per self.eval_mdns) ----
+        from r3dfsseg_tpu.models.mpti import episode_graph_nodes, mdns_keep_mask
+        sx = np.asarray(support_x, np.float32)
+        sy = np.asarray(support_y, np.int32)
+        sf = model.apply(
+            variables, jnp.asarray(sx.reshape(c.n_way * c.k_shot, n, -1)),
+            method=enc).reshape(c.n_way, c.k_shot, n, d)
+        fg = jnp.asarray(sy > 0)
+        if self.eval_mdns:
+            keep, _ = mdns_keep_mask(sf, fg, jnp.asarray(sx[..., :3]),
+                                     c.mdns_scales)
+            fg_used = fg & (keep[..., None] > 0.5)
+        else:
+            fg_used = fg
+        protos, pvalid, proto_labels, _ = episode_graph_nodes(
+            sf, fg_used, fg, c)
+
+        # ---- one global graph: [protos ++ every scene point] ----
+        node_feat = jnp.concatenate(
+            [protos.astype(jnp.float32), scene_feat.astype(jnp.float32)])
+        pad_mask = np.ones(n_blocks * n, bool)
+        if pad:
+            pad_mask[p:] = False
+        node_valid = jnp.concatenate([pvalid, jnp.asarray(pad_mask)])
+        y0 = jnp.concatenate(
+            [proto_labels,
+             jnp.zeros((n_blocks * n, c.n_classes), jnp.float32)])
+
+        if mesh is not None:
+            from r3dfsseg_tpu.parallel import sp_label_propagate
+            z = sp_label_propagate(
+                node_feat, y0, mesh=mesh, k=c.k_connect, sigma=c.sigma,
+                alpha=c.lp_alpha, valid=node_valid, iters=c.lp_cg_iters)
+        else:
+            from r3dfsseg_tpu.ops.lp import (label_propagate,
+                                             local_constrained_affinity)
+            a = local_constrained_affinity(
+                node_feat, c.k_connect, c.sigma, valid=node_valid,
+                impl="threshold")
+            z = label_propagate(a, y0, c.lp_alpha, solver="cheby",
+                                cg_iters=c.lp_cg_iters)
+
+        n_protos = protos.shape[0]
+        pred_sorted = np.asarray(
+            jnp.argmax(z[n_protos:], axis=-1), np.int32)[:p]
+        out = np.empty(p, np.int32)
+        out[order] = pred_sorted
+        return out

@@ -192,6 +192,8 @@ def test_sample_augmented_views(ds):
         for k in range(k_shot):
             if flags[k] != cls:
                 assert ep.gt_support_y[w, k].sum() == 0
+
+
 def test_noisy_train_mode_ratio_list(ds):
     s = NoisyEpisodeSampler(ds, "s3dis", cvfold=0, n_way=2, k_shot=5,
                             n_queries=1, mode="train", num_point=128,

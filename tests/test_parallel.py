@@ -109,3 +109,49 @@ def test_cli_training_sharded_matches_single_device(tmp_path):
                         noise_type="sym", model_checkpoint_path=cfg8.log_dir)
     miou = evaluate(ecfg)
     assert 0.0 <= miou <= 1.0
+
+
+def test_sp_label_propagate_matches_unsharded(rng):
+    """Node-sharded LP over 8 devices == unsharded ops, including a
+    non-divisible node count (padding) and invalid slots."""
+    from r3dfsseg_tpu.ops.lp import label_propagate, local_constrained_affinity
+    from r3dfsseg_tpu.parallel import sp_label_propagate
+
+    m, c, k, n_cls = 70, 24, 5, 3
+    feat = rng.normal(size=(m, c)).astype(np.float32)
+    valid = np.ones(m, bool)
+    valid[9] = valid[33] = False
+    y = np.zeros((m, n_cls), np.float32)
+    y[np.arange(6), rng.integers(0, n_cls, 6)] = 1.0
+
+    mesh = make_mesh(8)
+    for sigma in (1.0, 0.0):          # fixed + auto bandwidth
+        a = local_constrained_affinity(
+            jnp.asarray(feat), k, sigma=sigma, valid=jnp.asarray(valid),
+            impl="threshold")
+        z_ref = label_propagate(a, jnp.asarray(y), 0.99, solver="cheby",
+                                cg_iters=30)
+        z_sp = sp_label_propagate(
+            jnp.asarray(feat), jnp.asarray(y), mesh=mesh, k=k, sigma=sigma,
+            valid=jnp.asarray(valid), iters=30)
+        np.testing.assert_allclose(np.asarray(z_sp), np.asarray(z_ref),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_sp_label_propagate_cosine(rng):
+    from r3dfsseg_tpu.ops.lp import label_propagate, local_constrained_affinity
+    from r3dfsseg_tpu.parallel import sp_label_propagate
+
+    m, c, k = 64, 16, 4
+    feat = rng.normal(size=(m, c)).astype(np.float32)
+    y = np.zeros((m, 2), np.float32)
+    y[:4, 0] = y[4:8, 1] = 1.0
+    a = local_constrained_affinity(jnp.asarray(feat), k, method="cosine",
+                                   impl="threshold")
+    z_ref = label_propagate(a, jnp.asarray(y), 0.99, solver="cheby",
+                            cg_iters=20)
+    z_sp = sp_label_propagate(jnp.asarray(feat), jnp.asarray(y),
+                              mesh=make_mesh(8), k=k, method="cosine",
+                              iters=20)
+    np.testing.assert_allclose(np.asarray(z_sp), np.asarray(z_ref),
+                               rtol=1e-6, atol=1e-7)

@@ -93,3 +93,32 @@ def test_predictor_shape_guard(rng):
         p.predict(np.zeros((3, 5, cfg.pc_npts, cfg.pc_in_dim)),
                   np.zeros((3, 5, cfg.pc_npts)),
                   np.zeros((2, cfg.pc_npts, cfg.pc_in_dim)))
+
+
+def test_predict_scene_whole_scene_graph(tmp_path, rng):
+    """Whole-scene serving: P points (not a multiple of pc_npts) segment
+    in one global graph; the node-sharded (8-device mesh) and unsharded
+    paths agree."""
+    from r3dfsseg_tpu.learners import MPTILearner
+    from r3dfsseg_tpu.parallel import make_mesh
+    from r3dfsseg_tpu.serve import FewShotPredictor
+
+    cfg = tiny_config(lp_cg_iters=10)
+    ep = _episode(cfg, rng)
+    learner = MPTILearner(cfg)
+    learner.init(ep)
+    p = FewShotPredictor(cfg, learner)
+
+    n_pts = 3 * cfg.pc_npts + 17                   # padding path exercised
+    scene_xyz = rng.uniform(0, 4, size=(n_pts, 3)).astype(np.float32)
+    scene_rgb = rng.uniform(size=(n_pts, 3)).astype(np.float32)
+
+    lab = p.predict_scene(np.asarray(ep.support_x), np.asarray(ep.support_y),
+                          scene_xyz, scene_rgb)
+    assert lab.shape == (n_pts,) and lab.dtype == np.int32
+    assert lab.min() >= 0 and lab.max() <= cfg.n_way
+
+    lab_sp = p.predict_scene(np.asarray(ep.support_x),
+                             np.asarray(ep.support_y),
+                             scene_xyz, scene_rgb, mesh=make_mesh(8))
+    np.testing.assert_array_equal(lab, lab_sp)
