@@ -153,7 +153,7 @@ def evaluate(cfg: R3DConfig):
         k_shot=cfg.k_shot, n_queries=cfg.n_queries, num_point=cfg.pc_npts,
         pc_attribs=cfg.pc_attribs, mode="test",
         noise_ratio=cfg.noise_ratio, noise_type=cfg.noise_type,
-        seed=cfg.seed)
+        noise_pair=cfg.noise_pair_dict, seed=cfg.seed)
 
     learner = make_learner(cfg, "test")
     learner.init(dataset[0])

@@ -77,6 +77,10 @@ def build_parser(eval_mode: bool = False) -> argparse.ArgumentParser:
     if eval_mode:
         p.add_argument("--noise_ratio", type=float, default=0.4)
         p.add_argument("--noise_type", default="sym", type=str)
+        # class -> confusion partner for --noise_type pair, e.g.
+        # "{0: 3, 3: 0}".  The reference's pair branch crashes (its dict is
+        # commented out, loader.py:592-593); here it is explicit input.
+        p.add_argument("--noise_pair_dict", type=str, default="")
         p.add_argument("--save_test_record", dest="save_test_record",
                        action="store_true")
     # transformer baseline config.  Defaults are the reference's *effective*
@@ -164,6 +168,8 @@ def args_to_config(args: argparse.Namespace, eval_mode: bool = False) -> R3DConf
         train_noise_ratio=tuple(ast.literal_eval(args.train_noise_ratio)),
         noise_ratio=getattr(args, "noise_ratio", 0.0),
         noise_type=getattr(args, "noise_type", "sym"),
+        noise_pair_dict=(ast.literal_eval(args.noise_pair_dict)
+                         if getattr(args, "noise_pair_dict", "") else None),
         save_test_record=getattr(args, "save_test_record", False),
         d_model=args.d_model, n_head=args.n_head,
         n_layers=args.n_layers, d_feed=args.d_feed,

@@ -9,7 +9,7 @@ device mesh, LP solver, precision) are grouped at the bottom.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 
 @dataclasses.dataclass
@@ -93,7 +93,12 @@ class R3DConfig:
 
     # ---------------------------------------------------------------- noise
     noise_ratio: float = 0.0
-    noise_type: str = "sym"                # sym | ood | partial | train
+    noise_type: str = "sym"                # sym | ood | partial | train | pair
+    # class -> confusion partner for noise_type='pair'.  The reference's
+    # pair branch exists (loader.py:734-735) but its noise_pair_dict is
+    # commented out (loader.py:592-593), so 'pair' crashes there; here the
+    # dict is a config field (CLI: --noise_pair_dict "{0: 3, 3: 0, ...}").
+    noise_pair_dict: Optional[Dict[int, int]] = None
     train_noise_ratio: Sequence[float] = (0.2,)
     ReturnCluster: bool = False
     save_test_record: bool = False         # dump per-episode preds at eval

@@ -72,14 +72,15 @@ class StaticTestDataset:
                  k_shot: int = 5, n_queries: int = 1, num_point: int = 2048,
                  pc_attribs: str = "xyzrgbXYZ", mode: str = "valid",
                  noise_ratio: float = 0.0, noise_type: Optional[str] = None,
-                 seed: Optional[int] = None):
+                 noise_pair=None, seed: Optional[int] = None):
         noisy = noise_ratio and noise_ratio > 0
         if noisy:
             sampler = NoisyEpisodeSampler(
                 data_path, dataset_name, cvfold=cvfold, n_way=n_way,
                 k_shot=k_shot, n_queries=n_queries, mode="test",
                 num_point=num_point, pc_attribs=pc_attribs,
-                noise_ratio=noise_ratio, noise_type=noise_type, seed=seed)
+                noise_ratio=noise_ratio, noise_type=noise_type,
+                noise_pair=noise_pair, seed=seed)
             tag = "test_episodes" if mode == "test" else "episodes"
             dirname = ("NoiseTest_%s_%f_S_%d_N_%d_K_%d_%s_%d_pts_%d" % (
                 noise_type, noise_ratio, cvfold, n_way, k_shot, tag,
@@ -95,12 +96,15 @@ class StaticTestDataset:
 
         self.classes = sampler.classes
         self.root = os.path.join(data_path, dirname)
-        if os.path.exists(self.root):
-            self.file_names = sorted(
-                glob.glob(os.path.join(self.root, "*.h5")),
-                key=lambda p: int(os.path.basename(p)[:-3]))
+        existing = (sorted(glob.glob(os.path.join(self.root, "*.h5")),
+                           key=lambda p: int(os.path.basename(p)[:-3]))
+                    if os.path.exists(self.root) else [])
+        if existing:
+            self.file_names = existing
         else:
-            os.makedirs(self.root)
+            # dir absent OR empty (e.g. a crashed run created it and wrote
+            # nothing) -> materialise
+            os.makedirs(self.root, exist_ok=True)
             self.file_names = []
             idx = 0
             for comb in combinations(self.classes.tolist(), n_way):

@@ -100,12 +100,27 @@ class NoisyEpisodeSampler(EpisodeSampler):
 
     def __init__(self, data_path: str, dataset_name: str, *,
                  noise_ratio, noise_type: str = "sym", mode: str = "train",
-                 **kw):
+                 noise_pair: Optional[Dict[int, int]] = None, **kw):
         super().__init__(data_path, dataset_name, mode=mode, **kw)
         self.noise_ratio = noise_ratio
         # meta-training always uses 'train' noise with a per-episode ratio
         # drawn from a list (loader.py:584-587,668-671)
         self.noise_type = "train" if mode == "train" else noise_type
+        # class -> confusion partner for 'pair' noise (the reference's
+        # noise_pair_dict, commented out at loader.py:592-593 — 'pair'
+        # crashes there; here the dict is an explicit argument)
+        self.noise_pair = noise_pair
+        if self.noise_type == "pair":
+            if not noise_pair:
+                raise ValueError("noise_type='pair' needs a noise_pair dict "
+                                 "(class -> confusion partner)")
+            missing = [int(c) for c in self.classes
+                       if int(c) not in noise_pair]
+            if missing:
+                raise ValueError(
+                    f"noise_pair dict is missing classes {missing} "
+                    f"(must cover every {mode} class: "
+                    f"{[int(c) for c in self.classes]})")
         if mode == "train":
             assert isinstance(noise_ratio, (list, tuple)), \
                 "train noise_ratio must be a list (loader.py:587)"
@@ -153,11 +168,11 @@ class NoisyEpisodeSampler(EpisodeSampler):
                 noise_range = list(sampled_classes)
             elif self.noise_type == "ood":
                 noise_range = [c for c in self.classes if c not in sampled_classes]
-            elif self.noise_type == "partial":
-                noise_range = None
+            elif self.noise_type in ("partial", "pair"):
+                noise_range = None             # per-way (loader.py:734-737)
             else:
                 raise NotImplementedError(
-                    "only sym/ood/partial noise implemented for meta-test")
+                    "only sym/ood/partial/pair noise implemented for meta-test")
         else:
             noise_range = list(self.classes)
 
@@ -188,13 +203,20 @@ class NoisyEpisodeSampler(EpisodeSampler):
             flag = np.zeros(self.k_shot)
             flag[:len(clean_names)] = cls
 
-            way_range = ([cls] if self.noise_type == "partial"
-                         else list(noise_range))
+            if self.noise_type == "partial":
+                way_range = [cls]
+            elif self.noise_type == "pair":
+                way_range = [int(self.noise_pair[int(cls)])]  # loader.py:734-735
+            else:
+                way_range = list(noise_range)
             for i in range(num_noise):
                 # draw a wrong-class scan; masks pretend it's `cls`
                 # (loader.py:741-792)
-                if self.noise_type == "partial":
-                    noisy_cls = cls
+                if self.noise_type in ("partial", "pair"):
+                    # pair partners may map a class to itself (the
+                    # reference's commented dicts do) — no != cls loop
+                    # (loader.py:744-745)
+                    noisy_cls = int(rng.choice(way_range))
                 else:
                     noisy_cls = cls
                     while noisy_cls == cls:
@@ -220,6 +242,12 @@ class NoisyEpisodeSampler(EpisodeSampler):
                 sp = np.concatenate([sp, npnt]); sl = np.concatenate([sl, nlab])
                 sg = np.concatenate([sg, ngt])
                 flag[len(clean_names) + i] = noisy_cls
+                # reference quirk (loader.py:742,787-790): its per-draw
+                # counter dict resets every iteration, so a drawn class
+                # leaves the range iff k_shot - num_noise - 1 == 1
+                if (self.noise_type not in ("partial", "pair")
+                        and self.k_shot - num_noise - 1 == 1):
+                    way_range.remove(noisy_cls)
 
             if num_noise > 0:
                 sg[-num_noise:] = 0          # noisy shots' gt zeroed (loader.py:797-801)

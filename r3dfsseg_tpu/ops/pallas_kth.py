@@ -54,11 +54,18 @@ def _kth_kernel(d_ref, out_ref, *, k: int, iters: int, n_keys: int):
 @functools.partial(jax.jit,
                    static_argnames=("k", "iters", "tile_n", "interpret"))
 def kth_smallest_per_row_pallas(d: Array, k: int, iters: int = 16,
-                                *, tile_n: int = 256,
+                                *, tile_n: int | None = None,
                                 interpret: bool = False) -> Array:
     """d: (N, N) distances (f32 or bf16; >= 0 with _BIG sentinel entries)
     -> (N, 1) f32 upward-biased per-row k-th smallest value."""
     n, m = d.shape
+    if tile_n is None:
+        # keep the double-buffered (tile_n, m) row tile within ~8 MB of
+        # VMEM: 256 rows at the episode graph width (4396), shrinking for
+        # scene-scale graphs (predict_scene: m = 300 + P can reach 20k+)
+        budget = 4 * 1024 * 1024
+        tile_n = min(256, budget // max(m * d.dtype.itemsize, 1))
+        tile_n = max(8, (tile_n // 8) * 8)
     grid = (pl.cdiv(n, tile_n),)
     return pl.pallas_call(
         functools.partial(_kth_kernel, k=k, iters=iters, n_keys=m),

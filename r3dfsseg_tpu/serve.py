@@ -154,7 +154,6 @@ class FewShotPredictor:
           (P,) int32 labels (0 = bg, 1..n_way) in the input point order.
         """
         import jax
-        import jax.numpy as jnp
 
         c = self.cfg
         if c.pc_in_dim != 9:
@@ -166,80 +165,109 @@ class FewShotPredictor:
         rgb = (np.zeros((p, 3), np.float32) if scene_rgb is None
                else np.asarray(scene_rgb, np.float32))
 
-        # ---- spatial sort -> fixed-size encoder blocks ----
+        # ---- spatial sort -> fixed-size encoder blocks (host) ----
         mn = xyz.min(0)
         cid = np.floor((xyz[:, :2] - mn[:2]) / max(cell, 1e-6)).astype(np.int64)
         order = np.lexsort((xyz[:, 2], cid[:, 1], cid[:, 0]))
-        n_blocks = (p + n - 1) // n
-        pad = n_blocks * n - p
+        n_dev = mesh.devices.size if mesh is not None else 1
+        n_blocks = -(-p // n)
+        nb = ((n_blocks + n_dev - 1) // n_dev) * n_dev  # mesh-divisible
         idx = np.resize(order, n_blocks * n)   # cycle points into the pad
-        blocks_xyz = xyz[idx].reshape(n_blocks, n, 3)
-        blocks_rgb = rgb[idx].reshape(n_blocks, n, 3)
+        blocks_xyz = np.zeros((nb, n, 3), np.float32)
+        blocks_rgb = np.zeros((nb, n, 3), np.float32)
+        blocks_xyz[:n_blocks] = xyz[idx].reshape(n_blocks, n, 3)
+        blocks_rgb[:n_blocks] = rgb[idx].reshape(n_blocks, n, 3)
         # per-block min-shift + scene-extent normalisation, the sampler's
         # attribute conventions (data/sampler.py; loader.py:200-219)
         local = blocks_xyz - blocks_xyz.min(axis=1, keepdims=True)
-        scene_norm = xyz - mn
-        scale = np.maximum(scene_norm.max(0), 1e-6)
+        scale = np.maximum((xyz - mn).max(0), 1e-6)
         glob = (blocks_xyz - mn) / scale
         blocks = np.concatenate([local, blocks_rgb, glob], axis=-1)
+        pad_mask = np.zeros(nb * n, bool)
+        pad_mask[:p] = True                    # pad nodes leave the graph
 
-        # ---- encode (eval-mode BN: block batching is semantics-free) ----
-        model = self._learner.model
         state = self._learner.state
         variables = {"params": state.params, "batch_stats": state.batch_stats}
+        if mesh is not None:
+            # block batch sharded over the mesh: DP encoding, and the jitted
+            # program hands the sharded features straight to the node-
+            # sharded LP (parallel/sp.py) without re-gathering
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+            blocks = jax.device_put(
+                blocks, NamedSharding(mesh, P(mesh.axis_names[0])))
+
+        fn = self._scene_fn(mesh)
+        pred_sorted = np.asarray(fn(
+            variables, blocks, pad_mask,
+            np.asarray(support_x, np.float32),
+            np.asarray(support_y, np.int32)), np.int32)[:p]
+        out = np.empty(p, np.int32)
+        out[order] = pred_sorted
+        return out
+
+    def _scene_fn(self, mesh):
+        """One jitted device program per mesh-ness: encode blocks + support,
+        MDNS, prototypes, global graph LP, argmax.  jax.jit re-traces per
+        scene size; the compiled program is cached across calls."""
+        key = id(mesh) if mesh is not None else None
+        cache = getattr(self, "_scene_cache", None)
+        if cache is None:
+            cache = self._scene_cache = {}
+        if key in cache:
+            return cache[key]
+
+        import jax
+        import jax.numpy as jnp
+
+        c = self.cfg
+        model = self._learner.model
+        eval_mdns = self.eval_mdns
 
         def enc(m, x):
             return m.features(x, train=False)
 
-        scene_feat = model.apply(variables, jnp.asarray(blocks), method=enc)
-        d = scene_feat.shape[-1]
-        scene_feat = scene_feat.reshape(n_blocks * n, d)
+        def fn(variables, blocks, pad_mask, sup_x, sup_y):
+            from r3dfsseg_tpu.models.mpti import (episode_graph_nodes,
+                                                  mdns_keep_mask)
+            nbk, n = blocks.shape[0], blocks.shape[1]
+            scene_feat = model.apply(variables, blocks, method=enc)
+            d = scene_feat.shape[-1]
+            scene_feat = scene_feat.reshape(nbk * n, d)
 
-        # ---- support prototypes (MDNS per self.eval_mdns) ----
-        from r3dfsseg_tpu.models.mpti import episode_graph_nodes, mdns_keep_mask
-        sx = np.asarray(support_x, np.float32)
-        sy = np.asarray(support_y, np.int32)
-        sf = model.apply(
-            variables, jnp.asarray(sx.reshape(c.n_way * c.k_shot, n, -1)),
-            method=enc).reshape(c.n_way, c.k_shot, n, d)
-        fg = jnp.asarray(sy > 0)
-        if self.eval_mdns:
-            keep, _ = mdns_keep_mask(sf, fg, jnp.asarray(sx[..., :3]),
-                                     c.mdns_scales)
-            fg_used = fg & (keep[..., None] > 0.5)
-        else:
-            fg_used = fg
-        protos, pvalid, proto_labels, _ = episode_graph_nodes(
-            sf, fg_used, fg, c)
+            sf = model.apply(
+                variables, sup_x.reshape(c.n_way * c.k_shot, n, -1),
+                method=enc).reshape(c.n_way, c.k_shot, n, d)
+            fg = sup_y > 0
+            if eval_mdns:
+                keep, _ = mdns_keep_mask(sf, fg, sup_x[..., :3],
+                                         c.mdns_scales)
+                fg_used = fg & (keep[..., None] > 0.5)
+            else:
+                fg_used = fg
+            protos, pvalid, proto_labels, _ = episode_graph_nodes(
+                sf, fg_used, fg, c)
 
-        # ---- one global graph: [protos ++ every scene point] ----
-        node_feat = jnp.concatenate(
-            [protos.astype(jnp.float32), scene_feat.astype(jnp.float32)])
-        pad_mask = np.ones(n_blocks * n, bool)
-        if pad:
-            pad_mask[p:] = False
-        node_valid = jnp.concatenate([pvalid, jnp.asarray(pad_mask)])
-        y0 = jnp.concatenate(
-            [proto_labels,
-             jnp.zeros((n_blocks * n, c.n_classes), jnp.float32)])
+            node_feat = jnp.concatenate(
+                [protos.astype(jnp.float32), scene_feat.astype(jnp.float32)])
+            node_valid = jnp.concatenate([pvalid, pad_mask])
+            y0 = jnp.concatenate(
+                [proto_labels, jnp.zeros((nbk * n, c.n_classes), jnp.float32)])
 
-        if mesh is not None:
-            from r3dfsseg_tpu.parallel import sp_label_propagate
-            z = sp_label_propagate(
-                node_feat, y0, mesh=mesh, k=c.k_connect, sigma=c.sigma,
-                alpha=c.lp_alpha, valid=node_valid, iters=c.lp_cg_iters)
-        else:
-            from r3dfsseg_tpu.ops.lp import (label_propagate,
-                                             local_constrained_affinity)
-            a = local_constrained_affinity(
-                node_feat, c.k_connect, c.sigma, valid=node_valid,
-                impl="threshold")
-            z = label_propagate(a, y0, c.lp_alpha, solver="cheby",
-                                cg_iters=c.lp_cg_iters)
+            if mesh is not None:
+                from r3dfsseg_tpu.parallel import sp_label_propagate
+                z = sp_label_propagate(
+                    node_feat, y0, mesh=mesh, k=c.k_connect, sigma=c.sigma,
+                    alpha=c.lp_alpha, valid=node_valid, iters=c.lp_cg_iters)
+            else:
+                from r3dfsseg_tpu.ops.lp import (label_propagate,
+                                                 local_constrained_affinity)
+                a = local_constrained_affinity(
+                    node_feat, c.k_connect, c.sigma, valid=node_valid,
+                    impl="threshold")
+                z = label_propagate(a, y0, c.lp_alpha, solver="cheby",
+                                    cg_iters=c.lp_cg_iters)
+            return jnp.argmax(z[protos.shape[0]:], axis=-1)
 
-        n_protos = protos.shape[0]
-        pred_sorted = np.asarray(
-            jnp.argmax(z[n_protos:], axis=-1), np.int32)[:p]
-        out = np.empty(p, np.int32)
-        out[order] = pred_sorted
-        return out
+        cache[key] = jax.jit(fn)
+        return cache[key]

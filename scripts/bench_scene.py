@@ -1,0 +1,50 @@
+#!/usr/bin/env python
+"""Whole-scene serving benchmark: FewShotPredictor.predict_scene
+points/sec on the current backend at the flagship config.
+
+The graph is the cost driver: M = 300 + P nodes, and the unsharded
+threshold-affinity + Chebyshev path streams ~6 full M^2 f32 buffers, so
+single-chip capacity tops out around P ~ 16-24k on a 16 GB v5e; beyond
+that the node-sharded path (mesh) splits M^2 over the mesh.
+
+Usage: python scripts/bench_scene.py [P ...]   (default 8192 16384)
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    sizes = [int(a) for a in sys.argv[1:]] or [8192, 16384]
+    from r3dfsseg_tpu.config import R3DConfig
+    from r3dfsseg_tpu.learners import MPTILearner
+    from r3dfsseg_tpu.serve import FewShotPredictor
+    from __graft_entry__ import _example_episode
+
+    cfg = R3DConfig()
+    rng = np.random.default_rng(0)
+    ep = _example_episode(cfg, rng)
+    learner = MPTILearner(cfg)
+    learner.init(ep)
+    pred = FewShotPredictor(cfg, learner)
+    sup_x, sup_y = np.asarray(ep.support_x), np.asarray(ep.support_y)
+
+    for p in sizes:
+        xyz = rng.uniform(0, 6, size=(p, 3)).astype(np.float32)
+        rgb = rng.uniform(size=(p, 3)).astype(np.float32)
+        pred.predict_scene(sup_x, sup_y, xyz, rgb)      # warmup/compile
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            pred.predict_scene(sup_x, sup_y, xyz, rgb)
+            times.append(time.perf_counter() - t0)
+        dt = sorted(times)[1]
+        print(f"P={p}: {dt*1e3:.1f} ms/scene  {p/dt/1e3:.1f}k pts/s")
+
+
+if __name__ == "__main__":
+    main()

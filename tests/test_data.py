@@ -137,6 +137,35 @@ def test_noisy_episode_sampler_test_mode(ds, noise_type):
                 assert ep.gt_support_y[w, k].sum() == 0
 
 
+def test_noisy_pair_type(ds):
+    """'pair' noise (loader.py:734-735,744-745): every noisy shot comes
+    from the way's fixed confusion partner; partners may map a class to
+    itself (then the 'noisy' shot is a genuine extra clean shot whose gt
+    is still zeroed, loader.py:798-801)."""
+    cat = get_catalog("s3dis", 0, ds)
+    t = list(cat.test_classes)
+    pair = {t[0]: t[1], t[1]: t[0], t[2]: t[2], t[3]: t[3],
+            t[4]: t[5], t[5]: t[4]}
+    s = NoisyEpisodeSampler(ds, "s3dis", cvfold=0, n_way=2, k_shot=5,
+                            n_queries=1, mode="test", num_point=128,
+                            noise_ratio=0.4, noise_type="pair",
+                            noise_pair=pair, seed=7)
+    for _ in range(4):
+        ep = s.sample()
+        for w in range(2):
+            cls = int(ep.sampled_classes[w])
+            flags = ep.support_flag[w]
+            wrong = flags[flags != cls]
+            # every off-class shot is the partner
+            assert all(int(x) == pair[cls] for x in wrong)
+            if pair[cls] == cls:       # self-pair: flags all == cls
+                assert (flags == cls).all()
+    # missing dict is a clear error, not the reference's AttributeError
+    with pytest.raises(ValueError, match="noise_pair"):
+        NoisyEpisodeSampler(ds, "s3dis", cvfold=0, mode="test",
+                            noise_ratio=0.4, noise_type="pair")
+
+
 def test_cut_out_masks_largest_segment():
     """cut_out (loader.py:1191-1238): the largest fg segment is zeroed in
     both attributes and mask, but only when the cloud has >1 fg segment."""
