@@ -85,6 +85,13 @@ class StaticTestDataset:
             dirname = ("NoiseTest_%s_%f_S_%d_N_%d_K_%d_%s_%d_pts_%d" % (
                 noise_type, noise_ratio, cvfold, n_way, k_shot, tag,
                 num_episode_per_comb, num_point))
+            if noise_type == "pair":
+                # the mapping changes the episodes: different dicts must
+                # not share a cache (the reference never materialised pair
+                # caches — its pair branch crashes — so no interop concern)
+                pairs = "_".join(f"{a}-{b}"
+                                 for a, b in sorted(noise_pair.items()))
+                dirname += f"_pair_{pairs}"
         else:
             sampler = EpisodeSampler(
                 data_path, dataset_name, cvfold=cvfold, n_way=n_way,
@@ -96,14 +103,23 @@ class StaticTestDataset:
 
         self.classes = sampler.classes
         self.root = os.path.join(data_path, dirname)
+        n_combs = sum(1 for _ in combinations(self.classes.tolist(), n_way))
+        expected = n_combs * num_episode_per_comb
         existing = (sorted(glob.glob(os.path.join(self.root, "*.h5")),
                            key=lambda p: int(os.path.basename(p)[:-3]))
                     if os.path.exists(self.root) else [])
-        if existing:
+        if len(existing) == expected:
             self.file_names = existing
         else:
-            # dir absent OR empty (e.g. a crashed run created it and wrote
-            # nothing) -> materialise
+            # dir absent, empty, or truncated by a crashed materialisation
+            # -> regenerate the full set (reference-written caches always
+            # hold exactly n_combs * episodes files, so they load verbatim
+            # through the branch above)
+            if existing:
+                import warnings
+                warnings.warn(
+                    f"episode cache {self.root} holds {len(existing)} of "
+                    f"{expected} files — regenerating")
             os.makedirs(self.root, exist_ok=True)
             self.file_names = []
             idx = 0

@@ -244,9 +244,13 @@ class NoisyEpisodeSampler(EpisodeSampler):
                 flag[len(clean_names) + i] = noisy_cls
                 # reference quirk (loader.py:742,787-790): its per-draw
                 # counter dict resets every iteration, so a drawn class
-                # leaves the range iff k_shot - num_noise - 1 == 1
+                # leaves the range iff k_shot - num_noise - 1 == 1.  The
+                # last-candidate guard is ours: where the reference would
+                # hang (sym 2-way) or crash (exhausted ood range) on the
+                # next draw, we keep the final non-cls candidate instead.
                 if (self.noise_type not in ("partial", "pair")
-                        and self.k_shot - num_noise - 1 == 1):
+                        and self.k_shot - num_noise - 1 == 1
+                        and sum(1 for c in way_range if c != cls) > 1):
                     way_range.remove(noisy_cls)
 
             if num_noise > 0:
@@ -290,8 +294,8 @@ class NoisyEpisodeSampler(EpisodeSampler):
         ``n = n_way*k_shot + n_bg_cls*per_bg`` and the rows are ordered
         way-by-way clean-then-noisy (pre-shuffle), then background — the
         reference's aggregation order.  Supported noise types match the
-        reference's branch (sym/ood at meta-test, 'train' range at
-        meta-train; loader.py:926-934)."""
+        reference's branch (sym/ood/pair at meta-test, 'train' range at
+        meta-train; loader.py:926-934,1005-1014)."""
         rng = self.rng
         if n_way_classes is not None:
             sampled_classes = np.asarray(n_way_classes)
@@ -310,10 +314,12 @@ class NoisyEpisodeSampler(EpisodeSampler):
             elif self.noise_type == "ood":
                 noise_range = [c for c in self.classes
                                if c not in sampled_classes]
+            elif self.noise_type == "pair":
+                noise_range = None             # per-way (loader.py:1005-1006)
             else:
                 raise NotImplementedError(
-                    "augmented episodes implement sym/ood meta-test noise "
-                    "(loader.py:927-934)")
+                    "augmented episodes implement sym/ood/pair meta-test "
+                    "noise (loader.py:927-934,1005-1014)")
         else:
             noise_range = list(self.classes)
 
@@ -355,12 +361,17 @@ class NoisyEpisodeSampler(EpisodeSampler):
             flag = np.zeros(self.k_shot)
             flag[:len(clean_names)] = cls
 
-            way_range = list(noise_range)
+            way_range = ([int(self.noise_pair[int(cls)])]
+                         if self.noise_type == "pair"
+                         else list(noise_range))
             noisy_cls = cls
             for i in range(num_noise):
-                noisy_cls = cls
-                while noisy_cls == cls:
+                if self.noise_type == "pair":  # partner may equal cls
                     noisy_cls = int(rng.choice(way_range))
+                else:
+                    noisy_cls = cls
+                    while noisy_cls == cls:
+                        noisy_cls = int(rng.choice(way_range))
                 cands = [s for s in self.class2scans[noisy_cls]
                          if s not in blacklist]
                 scan = rng.choice(cands, 1, replace=False)
@@ -378,8 +389,11 @@ class NoisyEpisodeSampler(EpisodeSampler):
                 flag[len(clean_names) + i] = noisy_cls
                 # reference quirk: its per-draw counter dict resets every
                 # iteration, so a drawn class is dropped from the range
-                # iff k_shot - num_noise - 1 == 1 (loader.py:1011,1065-1068)
-                if self.k_shot - num_noise - 1 == 1:
+                # iff k_shot - num_noise - 1 == 1 (loader.py:1011,1065-1068).
+                # Last-candidate guard as in _episode: never empty the range.
+                if (self.noise_type != "pair"
+                        and self.k_shot - num_noise - 1 == 1
+                        and sum(1 for c in way_range if c != cls) > 1):
                     way_range.remove(noisy_cls)
 
             if num_noise > 0 and noisy_cls != cls:

@@ -31,12 +31,8 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
-
-try:                                     # jax >= 0.8
-    from jax import shard_map
-except ImportError:                      # pragma: no cover — older jax
-    from jax.experimental.shard_map import shard_map
 
 from r3dfsseg_tpu.ops.lp import _BIG, _chebyshev, _kth_smallest_per_row
 
@@ -73,6 +69,10 @@ def sp_label_propagate(
     Returns:
       (M, n_classes) propagated scores, replicated.
     """
+    if mesh.devices.ndim != 1:
+        raise ValueError(
+            f"sp_label_propagate needs a 1-D mesh, got shape "
+            f"{mesh.devices.shape} with axes {mesh.axis_names}")
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
     m = node_feat.shape[0]

@@ -210,7 +210,9 @@ class FewShotPredictor:
         """One jitted device program per mesh-ness: encode blocks + support,
         MDNS, prototypes, global graph LP, argmax.  jax.jit re-traces per
         scene size; the compiled program is cached across calls."""
-        key = id(mesh) if mesh is not None else None
+        # Mesh hashes by devices+axis names, so a fresh make_mesh(8) per
+        # call still hits the cache (id() would recompile every call)
+        key = mesh
         cache = getattr(self, "_scene_cache", None)
         if cache is None:
             cache = self._scene_cache = {}
