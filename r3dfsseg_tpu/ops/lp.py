@@ -366,8 +366,13 @@ def label_propagate(
         # adjoint iteration (31.0 ms at 50 -> 29.4 ms at 2).
         t_iters = cg_iters if adjoint_iters is None else adjoint_iters
 
+        # the kernel keeps S VMEM-resident: fine at the episode graph size
+        # (4396^2 bf16 = 38 MB) but impossible for scene-scale graphs
+        # (predict_scene can reach 20k+ nodes) — those take the XLA loop
+        s_bytes = s_mv.shape[0] * s_mv.shape[1] * s_mv.dtype.itemsize
         use_kernel = (matvec_dtype is not None
                       and jax.default_backend() == "tpu"
+                      and s_bytes <= 64 * 1024 * 1024
                       and os.environ.get("R3D_CHEBY_IMPL", "auto") != "xla")
         if use_kernel:
             # bf16 graph on TPU: run ALL iterations inside one pallas_call

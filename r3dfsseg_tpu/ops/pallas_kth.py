@@ -60,11 +60,18 @@ def kth_smallest_per_row_pallas(d: Array, k: int, iters: int = 16,
     -> (N, 1) f32 upward-biased per-row k-th smallest value."""
     n, m = d.shape
     if tile_n is None:
-        # keep the double-buffered (tile_n, m) row tile within ~8 MB of
-        # VMEM: 256 rows at the episode graph width (4396), shrinking for
-        # scene-scale graphs (predict_scene: m = 300 + P can reach 20k+)
-        budget = 4 * 1024 * 1024
-        tile_n = min(256, budget // max(m * d.dtype.itemsize, 1))
+        # scoped-VMEM model (16 MiB limit), calibrated against Mosaic's
+        # reported scoped sizes at m=8492: two double-buffered input
+        # blocks (2*itemsize bytes/elt) plus ONE full-tile f32 working
+        # copy (the astype at _kth_kernel:34 for bf16; the masked-where
+        # temp for f32) — observed 240*8492*(2*2+4)=16.07M bf16 and
+        # 200*8492*(2*4+4)=20.39M f32, matching this model exactly.
+        # Budget 13 MiB leaves headroom for out/carry temps.  256 rows at
+        # the episode graph widths (<=4396), shrinking for scene-scale
+        # graphs (predict_scene: m = 300 + P can reach 20k+).
+        itemsize = d.dtype.itemsize
+        per_row = m * (2 * itemsize + 4)
+        tile_n = min(256, (13 * 1024 * 1024) // max(per_row, 1))
         tile_n = max(8, (tile_n // 8) * 8)
     grid = (pl.cdiv(n, tile_n),)
     return pl.pallas_call(

@@ -264,11 +264,18 @@ class FewShotPredictor:
             else:
                 from r3dfsseg_tpu.ops.lp import (label_propagate,
                                                  local_constrained_affinity)
+                # same relaxed-precision contract as the episode core: a
+                # bf16 compute/graph dtype halves the M^2 graph traffic
+                # (accuracy A/B in BASELINE.md); f32 configs stay exact
+                gd = (c.compute_dtype if c.graph_dtype == "auto"
+                      else c.graph_dtype)
+                lowp = jnp.bfloat16 if gd == "bfloat16" else None
                 a = local_constrained_affinity(
                     node_feat, c.k_connect, c.sigma, valid=node_valid,
-                    impl="threshold")
+                    impl="threshold", compare_dtype=lowp)
                 z = label_propagate(a, y0, c.lp_alpha, solver="cheby",
-                                    cg_iters=c.lp_cg_iters)
+                                    cg_iters=c.lp_cg_iters,
+                                    matvec_dtype=lowp)
             return jnp.argmax(z[protos.shape[0]:], axis=-1)
 
         cache[key] = jax.jit(fn)

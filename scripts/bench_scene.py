@@ -25,25 +25,29 @@ def main():
     from r3dfsseg_tpu.serve import FewShotPredictor
     from __graft_entry__ import _example_episode
 
-    cfg = R3DConfig()
     rng = np.random.default_rng(0)
-    ep = _example_episode(cfg, rng)
-    learner = MPTILearner(cfg)
-    learner.init(ep)
-    pred = FewShotPredictor(cfg, learner)
-    sup_x, sup_y = np.asarray(ep.support_x), np.asarray(ep.support_y)
+    for tag, cfg in (
+        ("f32 ", R3DConfig()),
+        ("bf16", R3DConfig(compute_dtype="bfloat16")),
+    ):
+        ep = _example_episode(cfg, rng)
+        learner = MPTILearner(cfg)
+        learner.init(ep)
+        pred = FewShotPredictor(cfg, learner)
+        sup_x, sup_y = np.asarray(ep.support_x), np.asarray(ep.support_y)
 
-    for p in sizes:
-        xyz = rng.uniform(0, 6, size=(p, 3)).astype(np.float32)
-        rgb = rng.uniform(size=(p, 3)).astype(np.float32)
-        pred.predict_scene(sup_x, sup_y, xyz, rgb)      # warmup/compile
-        times = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            pred.predict_scene(sup_x, sup_y, xyz, rgb)
-            times.append(time.perf_counter() - t0)
-        dt = sorted(times)[1]
-        print(f"P={p}: {dt*1e3:.1f} ms/scene  {p/dt/1e3:.1f}k pts/s")
+        for p in sizes:
+            xyz = rng.uniform(0, 6, size=(p, 3)).astype(np.float32)
+            rgb = rng.uniform(size=(p, 3)).astype(np.float32)
+            pred.predict_scene(sup_x, sup_y, xyz, rgb)      # warmup/compile
+            times = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                pred.predict_scene(sup_x, sup_y, xyz, rgb)
+                times.append(time.perf_counter() - t0)
+            dt = sorted(times)[1]
+            print(f"{tag} P={p}: {dt*1e3:.1f} ms/scene  "
+                  f"{p/dt/1e3:.1f}k pts/s")
 
 
 if __name__ == "__main__":
