@@ -99,6 +99,30 @@ def measure_eval(cfg, ebatch):
     return _measure(chain, ebatch * CHAIN)
 
 
+def measure_scene(cfg, n_points: int = 16384):
+    """Whole-scene serving (predict_scene, one transductive graph):
+    points/sec at the bf16 design point.  Median of 3 end-to-end calls
+    (host in/out included — this is the serving latency a user sees)."""
+    from __graft_entry__ import _example_episode
+    from r3dfsseg_tpu.serve import FewShotPredictor
+
+    rng = np.random.default_rng(0)
+    ep = _example_episode(cfg, rng)
+    learner = _learner(cfg)
+    learner.init(ep)
+    pred = FewShotPredictor(cfg, learner)
+    sup_x, sup_y = np.asarray(ep.support_x), np.asarray(ep.support_y)
+    xyz = rng.uniform(0, 6, size=(n_points, 3)).astype(np.float32)
+    rgb = rng.uniform(size=(n_points, 3)).astype(np.float32)
+    pred.predict_scene(sup_x, sup_y, xyz, rgb)  # warmup / compile
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        pred.predict_scene(sup_x, sup_y, xyz, rgb)
+        times.append(time.perf_counter() - t0)
+    return n_points / sorted(times)[1]
+
+
 def model_flops_per_episode(cfg) -> float:
     """Analytic matmul FLOPs per episode, fwd+bwd (bwd ~ 2x fwd for the
     encoder; LP adds one adjoint solve).  Elementwise/reduction traffic is
@@ -149,6 +173,11 @@ def main():
                            fps_impl="xla", compute_dtype="float32")
     parity_eps = measure_train(parity_cfg, 1)
 
+    try:
+        scene_pts = measure_scene(opt_cfg)
+    except Exception:
+        scene_pts = None   # serving bench must never sink the headline line
+
     flops = model_flops_per_episode(opt_cfg)
     v5e_bf16_peak = 197e12
     mfu = train_eps * flops / v5e_bf16_peak
@@ -163,6 +192,8 @@ def main():
                            "CPU faiss + dense 4396^2 inverse per episode",
         "parity_eps_per_sec": round(parity_eps, 3),
         "eval_eps_per_sec": round(eval_eps, 3),
+        "scene_pts_per_sec_16k": (round(scene_pts, 1)
+                                  if scene_pts is not None else None),
         "episode_batch": EBATCH,
         "model_flops_per_episode": round(flops / 1e9, 2),
         "mfu_vs_bf16_peak": round(mfu, 4),
