@@ -175,8 +175,10 @@ def main():
 
     try:
         scene_pts = measure_scene(opt_cfg)
-    except Exception:
-        scene_pts = None   # serving bench must never sink the headline line
+    except Exception as e:   # serving bench must never sink the headline line
+        import sys
+        print(f"scene bench failed: {e!r}", file=sys.stderr)
+        scene_pts = None
 
     flops = model_flops_per_episode(opt_cfg)
     v5e_bf16_peak = 197e12

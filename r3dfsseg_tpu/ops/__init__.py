@@ -24,3 +24,7 @@ from r3dfsseg_tpu.ops.lp import (  # noqa: F401
     label_propagate,
 )
 from r3dfsseg_tpu.ops.grid import grid_seed_pool  # noqa: F401
+from r3dfsseg_tpu.ops.ccns import (  # noqa: F401
+    aggregate_class_clusters,
+    detect_clean_clusters,
+)

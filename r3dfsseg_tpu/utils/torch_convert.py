@@ -1,9 +1,16 @@
-"""PyTorch <-> flax parameter conversion.
+"""PyTorch <-> flax parameter conversion — BOTH directions.
 
-Lets users of the reference load their trained `.tar` checkpoints
-(`/root/reference/utils/checkpoint_util.py:9-50`, schema at
+torch -> flax: lets users of the reference load their trained `.tar`
+checkpoints (`/root/reference/utils/checkpoint_util.py:9-50`, schema at
 `mpti_train_noise.py:138-144`) straight into the TPU framework, and lets
 the parity test suite drive both implementations with identical weights.
+
+flax -> torch: `export_mpti_state`/`save_reference_checkpoint` emit a
+state_dict with the reference's exact key names and tensor layouts
+(Conv2d (out,in,1,1) / Conv1d (out,in,1) / Linear (out,in), BN running
+stats + num_batches_tracked), so a TPU-trained model loads into the
+reference's `MPTI_SelfAtten` with `strict=True` — see
+`scripts/export_torch_checkpoint.py` and `tests/test_torch_interop.py`.
 
 Layout conventions:
   torch Conv1d/Conv2d (1x1) weight (out, in, 1[, 1]) -> dense kernel (in, out)
@@ -234,6 +241,103 @@ def convert_transformer_model(
         "bias": np.asarray(src["binary_outlier_detector.fc.bias"]),
     }
     return params, stats
+
+
+def _t_conv(kernel: np.ndarray, conv_nd: int) -> np.ndarray:
+    """dense kernel (in, out) -> torch ConvNd weight (out, in, 1[, 1])."""
+    w = np.ascontiguousarray(np.asarray(kernel).T)
+    for _ in range(conv_nd):
+        w = w[..., None]
+    return w
+
+
+def _t_convbn(out: dict, params: dict, stats: dict,
+              prefix_conv: str, prefix_bn: str, conv_nd: int) -> None:
+    """Inverse of `_convbn`: one ConvBN block -> torch conv+bn tensors."""
+    out[prefix_conv + ".weight"] = _t_conv(params["conv"]["kernel"], conv_nd)
+    if "bias" in params["conv"]:
+        out[prefix_conv + ".bias"] = np.asarray(params["conv"]["bias"])
+    out[prefix_bn + ".weight"] = np.asarray(params["bn"]["scale"])
+    out[prefix_bn + ".bias"] = np.asarray(params["bn"]["bias"])
+    out[prefix_bn + ".running_mean"] = np.asarray(stats["bn"]["mean"])
+    out[prefix_bn + ".running_var"] = np.asarray(stats["bn"]["var"])
+    # torch BatchNorm carries this buffer; strict load_state_dict needs it
+    out[prefix_bn + ".num_batches_tracked"] = np.asarray(0, np.int64)
+
+
+def export_feature_extractor(
+    params: dict, stats: dict, *, prefix: str = ""
+) -> Dict[str, np.ndarray]:
+    """Inverse of `convert_feature_extractor`: FeatureExtractor pytrees ->
+    flat numpy dict with the reference's key names (module layout
+    `/root/reference/models/mpti.py:60-66`, conv blocks `dgcnn.py:45-80`,
+    BaseLearner `mpti.py:18-40`, attention `attention.py:24-29`).
+
+    Widths are inferred from the pytrees, so any --edgeconv_widths /
+    --dgcnn_mlp_widths / --base_widths config round-trips.
+    """
+    g = lambda k: prefix + k  # noqa: E731
+    out: Dict[str, np.ndarray] = {}
+    enc_p, enc_s = params["encoder"], stats["encoder"]
+    i = 0
+    while f"edgeconv{i}" in enc_p:
+        blk_p, blk_s = enc_p[f"edgeconv{i}"], enc_s[f"edgeconv{i}"]
+        j = 0
+        while f"layer{j}" in blk_p:
+            _t_convbn(out, blk_p[f"layer{j}"], blk_s[f"layer{j}"],
+                      g(f"encoder.edge_convs.{i}.layer.{3*j}"),
+                      g(f"encoder.edge_convs.{i}.layer.{3*j+1}"), conv_nd=2)
+            j += 1
+        i += 1
+    j = 0
+    while f"mlp{j}" in enc_p:
+        _t_convbn(out, enc_p[f"mlp{j}"], enc_s[f"mlp{j}"],
+                  g(f"encoder.conv.layer.{3*j}"),
+                  g(f"encoder.conv.layer.{3*j+1}"), conv_nd=1)
+        j += 1
+    if "base_learner" in params:
+        i = 0
+        while f"conv{i}" in params["base_learner"]:
+            _t_convbn(out, params["base_learner"][f"conv{i}"],
+                      stats["base_learner"][f"conv{i}"],
+                      g(f"base_learner.convs.{i}.0"),
+                      g(f"base_learner.convs.{i}.1"), conv_nd=1)
+            i += 1
+    if "att_learner" in params:
+        for m in ("q_map", "k_map", "v_map"):
+            out[g(f"att_learner.{m}.weight")] = _t_conv(
+                params["att_learner"][m]["kernel"], conv_nd=1)
+    if "linear_mapper" in params:
+        out[g("linear_mapper.weight")] = _t_conv(
+            params["linear_mapper"]["kernel"], conv_nd=1)
+    return out
+
+
+def export_mpti_state(params: dict, stats: dict) -> Dict[str, np.ndarray]:
+    """Inverse of `convert_mpti_model`: MPTINet (params, batch_stats) ->
+    reference `MPTI_SelfAtten` state_dict (numpy values)."""
+    out = export_feature_extractor(params["features"], stats["features"])
+    if "proj" in params:  # WayContrast head, nn.Linear (mpti.py:83)
+        out["proj.weight"] = np.ascontiguousarray(
+            np.asarray(params["proj"]["kernel"]).T)
+        out["proj.bias"] = np.asarray(params["proj"]["bias"])
+    return out
+
+
+def save_reference_checkpoint(path: str, params: dict, stats: dict, *,
+                              iteration: int = 0, loss: float = 0.0,
+                              iou: float = 0.0) -> None:
+    """Write a reference-loadable `checkpoint.tar` (schema exactly as the
+    reference saves it, `mpti_train_noise.py:138-144`; its test-mode loader
+    reads only `model_state_dict`, `checkpoint_util.py:31-34`)."""
+    import torch  # local import: torch is only needed for interop
+
+    sd = {k: torch.from_numpy(np.ascontiguousarray(
+              np.asarray(v, dtype=np.float32)))
+          if np.asarray(v).dtype != np.int64 else torch.from_numpy(np.asarray(v))
+          for k, v in export_mpti_state(params, stats).items()}
+    torch.save({"iteration": iteration, "model_state_dict": sd,
+                "optimizer_state_dict": None, "loss": loss, "IoU": iou}, path)
 
 
 def convert_seg_model(

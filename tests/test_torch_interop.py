@@ -93,6 +93,70 @@ def test_reference_tar_roundtrip(tmp_path, rng):
     assert np.isfinite(float(loss))
 
 
+def test_flax_to_torch_roundtrip(tmp_path, rng):
+    """flax -> torch export inverts the torch -> flax converter exactly:
+    an initialised MPTINet exported with save_reference_checkpoint and
+    re-imported through load_torch_checkpoint/convert_mpti_model gives the
+    identical pytrees."""
+    from r3dfsseg_tpu.utils.torch_convert import save_reference_checkpoint
+
+    cfg = tiny_config()
+    learner = MPTILearner(cfg)
+    learner.init(_episode(cfg, rng))
+    params = jax.tree.map(np.asarray, learner.state.params)
+    stats = jax.tree.map(np.asarray, learner.state.batch_stats)
+
+    tar = str(tmp_path / "exported.tar")
+    save_reference_checkpoint(tar, params, stats, iteration=3, iou=0.5)
+
+    blob = torch.load(tar, map_location="cpu", weights_only=False)
+    assert blob["iteration"] == 3 and blob["IoU"] == 0.5
+    flat = load_torch_checkpoint(tar)
+    re_params, re_stats = convert_mpti_model(
+        flat, edgeconv_widths=cfg.edgeconv_widths,
+        dgcnn_mlp_widths=cfg.dgcnn_mlp_widths, base_widths=cfg.base_widths,
+        use_attention=True)
+    flat_a = jax.tree.leaves(
+        {"p": {"features": re_params["features"], "proj": re_params["proj"]},
+         "s": {"features": re_stats["features"]}})
+    flat_b = jax.tree.leaves({"p": params, "s": stats})
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_export_strict_loads_into_reference_model(tmp_path, rng):
+    """The exported state_dict loads into the REAL reference MPTI_SelfAtten
+    with strict=True — every key and shape matches the reference module
+    layout (mpti.py:45-83) at the flagship config."""
+    import dataclasses
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    sys.path.insert(0, "/root/reference")
+    from make_reference_fixture import install_stubs
+    install_stubs()
+    from models.mpti import MPTI_SelfAtten  # the reference's own module
+
+    from r3dfsseg_tpu.config import R3DConfig
+    from r3dfsseg_tpu.utils.torch_convert import save_reference_checkpoint
+
+    cfg = R3DConfig(pc_npts=64, n_subprototypes=4, k_connect=8)
+    learner = MPTILearner(cfg)
+    learner.init(_episode(cfg, rng))
+    tar = str(tmp_path / "exported.tar")
+    save_reference_checkpoint(
+        tar, jax.tree.map(np.asarray, learner.state.params),
+        jax.tree.map(np.asarray, learner.state.batch_stats))
+
+    args = dataclasses.replace(cfg)  # attribute access matches argparse args
+    ref = MPTI_SelfAtten(args)
+    blob = torch.load(tar, map_location="cpu", weights_only=False)
+    missing, unexpected = ref.load_state_dict(
+        blob["model_state_dict"], strict=True), None
+    del missing, unexpected  # strict=True raises on any mismatch
+
+
 def _transformer_extra_state(cfg, gen, d_model, n_head, n_layers, d_feed):
     """Head tensors named like the reference ProtoNet_transformer
     (protonet.py:1107-1155: proj_trans_in/out Parameters, torch
