@@ -209,6 +209,7 @@ def test_bn_mode_precision_contract():
                               np.float32)).all()
 
 
+@pytest.mark.slow
 def test_bn_mode_hybrid_is_exact_in_f32():
     """'hybrid' relaxes BNs only under a bf16 compute dtype; without one it
     must be bit-identical to 'exact' (the parity stack never changes)."""

@@ -56,6 +56,7 @@ def _eval_cfg(ds, ckpt_dir, phase, extra=()):
     ("prototrain", ["protoeval"]),
     ("transformertrain", ["transformereval"]),
 ])
+@pytest.mark.slow
 def test_train_then_eval_phases(ds, tmp_path, train_phase, eval_phases):
     from eval_noise import evaluate
     from mpti_train_noise import train
@@ -76,6 +77,7 @@ def test_train_then_eval_phases(ds, tmp_path, train_phase, eval_phases):
         assert 0.0 <= miou <= 1.0
 
 
+@pytest.mark.slow
 def test_pretrain_then_finetune_then_metatrain(ds, tmp_path):
     """pretrain -> encoder artifact -> finetune resumes it -> mptitrain
     consumes it via --pretrain_checkpoint_path and the encoder params
@@ -126,6 +128,7 @@ def test_pretrain_then_finetune_then_metatrain(ds, tmp_path):
     assert max(diffs) > 0, "encoder params did not train"
 
 
+@pytest.mark.slow
 def test_save_test_record(ds, tmp_path):
     from eval_noise import evaluate
     from mpti_train_noise import train
@@ -143,6 +146,7 @@ def test_save_test_record(ds, tmp_path):
     assert data["pred"].shape[0] >= 1 and data["classes"].shape[-1] == 2
 
 
+@pytest.mark.slow
 def test_windowed_logging_drops_no_lines(ds, tmp_path):
     """The windowed metric fetch must emit exactly one Train line per
     iteration, including the partial window at the end and around

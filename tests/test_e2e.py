@@ -48,6 +48,7 @@ def test_train_then_eval_cli(ds, tmp_path):
     assert 0.0 <= miou <= 1.0
 
 
+@pytest.mark.slow
 def test_resume_from_checkpoint(ds, tmp_path):
     from mpti_train_noise import train
 

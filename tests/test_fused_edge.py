@@ -94,6 +94,7 @@ def test_batch_stats_match(rng):
                                atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_train_forward_and_grads_match_oracle(rng):
     e, g0, b0, w1, g1, b1 = _inputs(rng)
 
@@ -124,6 +125,7 @@ def test_train_forward_and_grads_match_oracle(rng):
                                    atol=2e-4, rtol=2e-4, err_msg=nm)
 
 
+@pytest.mark.slow
 def test_eval_grads_treat_stats_constant(rng):
     e, g0, b0, w1, g1, b1 = _inputs(rng, b=1, n=16, k=3, c=16)
     c = e.shape[-1]
@@ -142,6 +144,7 @@ def test_eval_grads_treat_stats_constant(rng):
                                atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_edgeconv_module_fused_matches_unfused(rng):
     """Same params, same outputs + grads through the flax EdgeConv module
     in both paths (fused runs in interpret mode on CPU); the parameter

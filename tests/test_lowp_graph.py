@@ -4,6 +4,7 @@ import os
 import sys
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -20,6 +21,7 @@ def _affinity_pair(rng, n=256, c=32, k=24):
     return np.asarray(a32), np.asarray(a16)
 
 
+@pytest.mark.slow
 def test_bf16_neighbour_selection_matches_f32(rng):
     a32, a16 = _affinity_pair(rng)
     # structural invariants hold in both
@@ -55,6 +57,7 @@ def test_bf16_selection_keeps_at_least_k(rng):
     assert (np.count_nonzero(a, axis=1) >= k).all()
 
 
+@pytest.mark.slow
 def test_bf16_cg_matvec_close_to_f32(rng):
     n = 400
     nf = jnp.asarray(rng.normal(size=(n, 32)).astype(np.float32))
@@ -80,6 +83,7 @@ def test_bf16_cg_matvec_close_to_f32(rng):
     assert rel < 0.05, rel
 
 
+@pytest.mark.slow
 def test_centered_sqdist_custom_grad_matches_autodiff(rng):
     """The relaxed gram's custom VJP (bf16 cotangent into the backward
     dots) matches plain autodiff through the same primal up to the
@@ -110,6 +114,7 @@ def test_centered_sqdist_custom_grad_matches_autodiff(rng):
         assert cos > 0.999, cos
 
 
+@pytest.mark.slow
 def test_bf16_affinity_returns_half_width_graph(rng):
     """Relaxed threshold mode stores the whole graph chain in bf16 (the
     solver's matvec copy would be bf16 anyway); values stay within one
@@ -132,6 +137,7 @@ def test_bf16_affinity_returns_half_width_graph(rng):
                                rtol=0.05, atol=5e-3)
 
 
+@pytest.mark.slow
 def test_bf16_cg_gradients_flow(rng):
     n = 128
     nf = jnp.asarray(rng.normal(size=(n, 16)).astype(np.float32))

@@ -10,6 +10,7 @@ from r3dfsseg_tpu.models.protonet import ProtoNet
 from tests.test_models_smoke import _episode
 
 
+@pytest.mark.slow
 def test_three_way_episode(rng):
     cfg = tiny_config(n_way=3, k_shot=2)
     model = MPTINet(cfg)

@@ -32,6 +32,7 @@ def cfg():
     return tiny_config(lp_cg_iters=20)
 
 
+@pytest.mark.slow
 def test_mpti_train_forward_and_grads(cfg, rng):
     model = MPTINet(cfg)
     ep = _episode(cfg, rng)
@@ -60,6 +61,7 @@ def test_mpti_train_forward_and_grads(cfg, rng):
     assert not zero_leaves, f"zero-grad leaves: {zero_leaves}"
 
 
+@pytest.mark.slow
 def test_mpti_eval_with_mdns(cfg, rng):
     model = MPTINet(cfg)
     ep = _episode(cfg, rng)
@@ -71,6 +73,7 @@ def test_mpti_eval_with_mdns(cfg, rng):
     assert np.isfinite(np.asarray(out.query_logits)).all()
 
 
+@pytest.mark.slow
 def test_mpti_episode_batch(cfg, rng):
     model = MPTINet(cfg)
     eps = stack_episodes([_episode(cfg, rng, i) for i in range(2)])

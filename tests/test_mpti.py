@@ -2,6 +2,7 @@
 reproduce a ragged numpy transliteration of the reference pipeline
 (mpti.py:414-577) given the same features."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -112,6 +113,7 @@ def _make_episode(rng, fg_counts):
     return sf, qf, sy, qy
 
 
+@pytest.mark.slow
 def test_mpti_core_matches_ragged_oracle(rng):
     cfg = tiny_config(
         n_way=W, k_shot=K, pc_npts=N, n_subprototypes=NP_, k_connect=KC,
@@ -192,6 +194,7 @@ def _mdns_oracle(sf, sy, sx, scales):
     return keep
 
 
+@pytest.mark.slow
 def test_mdns_matches_oracle(rng):
     scales = ((1, 1, 1), (2, 2, 1))
     sf = rng.normal(size=(W, K, N, D)).astype(np.float32)
@@ -245,6 +248,7 @@ def _contrast_oracle(sf, sy, flag, fps_k, temp, proj_w, proj_b):
     return np.mean(losses)
 
 
+@pytest.mark.slow
 def test_way_contrast_matches_oracle(rng):
     fps_k, temp, p = 2, 0.1, 8
     proj_w = rng.normal(size=(D, p)).astype(np.float32) * 0.3

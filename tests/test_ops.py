@@ -226,6 +226,7 @@ def test_affinity_auto_sigma_respects_valid_mask(rng):
     assert a.max() > 0.01
 
 
+@pytest.mark.slow
 def test_threshold_affinity_no_transpose_form(rng):
     """The threshold path computes A_knn + A_knn^T as the elementwise
     sim * ((d<=r_i) + (d<=r_j)) — no transpose.  Pin the two observable
@@ -274,6 +275,7 @@ def test_label_propagate_matches_oracle(rng, solver):
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_label_propagate_grad_flows(rng):
     x = rng.normal(size=(12, 3)).astype(np.float32)
 

@@ -1,5 +1,6 @@
 """Multi-device episode-DP tests on the 8-device virtual CPU mesh."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 from r3dfsseg_tpu.config import tiny_config
@@ -59,11 +60,13 @@ def test_sharded_train_step_runs_and_matches_unsharded(rng):
     assert agree > 0.98, agree
 
 
+@pytest.mark.slow
 def test_graft_entry_dryrun():
     from __graft_entry__ import dryrun_multichip
     dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_cli_training_sharded_matches_single_device(tmp_path):
     """The real CLI train loop (mpti_train_noise.train) with episode-DP over
     8 virtual devices reproduces the single-device loss curve: the ordered
@@ -111,6 +114,7 @@ def test_cli_training_sharded_matches_single_device(tmp_path):
     assert 0.0 <= miou <= 1.0
 
 
+@pytest.mark.slow
 def test_sp_label_propagate_matches_unsharded(rng):
     """Node-sharded LP over 8 devices == unsharded ops, including a
     non-divisible node count (padding) and invalid slots."""
@@ -138,6 +142,7 @@ def test_sp_label_propagate_matches_unsharded(rng):
                                    rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_sp_label_propagate_cosine(rng):
     from r3dfsseg_tpu.ops.lp import label_propagate, local_constrained_affinity
     from r3dfsseg_tpu.parallel import sp_label_propagate

@@ -120,6 +120,7 @@ def test_mdns_clean_flags_match(golden, name):
     ("f0", "eval_plain"), ("f0", "eval_mdns"),
     ("f1", "eval_plain"), ("f1", "eval_mdns"),
 ])
+@pytest.mark.slow
 def test_eval_logits_and_loss_match(golden, name, mode):
     data, meta, cfg, learner, eps = golden
     out = learner.model.apply(_vars(learner), eps[name], train=False,

@@ -28,9 +28,9 @@ from r3dfsseg_tpu.utils.torch_convert import convert_mpti_model
 FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures",
                        "reference_parity_cfg2.npz")
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     not os.path.exists(FIXTURE),
-    reason="run scripts/make_reference_fixture.py cfg2")
+    reason="run scripts/make_reference_fixture.py cfg2")]
 
 
 @pytest.fixture(scope="module")

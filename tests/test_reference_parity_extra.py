@@ -18,9 +18,9 @@ from r3dfsseg_tpu.models.episode import Episode
 FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures",
                        "reference_parity_extra.npz")
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     not os.path.exists(FIXTURE),
-    reason="run scripts/make_reference_fixture_extra.py")
+    reason="run scripts/make_reference_fixture_extra.py")]
 
 
 @pytest.fixture(scope="module")

@@ -36,8 +36,8 @@ from r3dfsseg_tpu.utils.torch_convert import convert_mpti_model
 FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures",
                        "reference_parity.npz")
 
-pytestmark = pytest.mark.skipif(
-    not os.path.exists(FIXTURE), reason="run scripts/make_reference_fixture.py")
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
+    not os.path.exists(FIXTURE), reason="run scripts/make_reference_fixture.py")]
 
 
 @pytest.fixture(scope="module")

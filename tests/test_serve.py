@@ -1,5 +1,6 @@
 """Serving API: checkpoint round-trip + prediction agreement."""
 import numpy as np
+import pytest
 
 from r3dfsseg_tpu.config import tiny_config
 from r3dfsseg_tpu.models.episode import Episode
@@ -20,6 +21,7 @@ def _episode(cfg, rng):
         support_flag=np.ones((w, k), np.int32))
 
 
+@pytest.mark.slow
 def test_predictor_matches_learner_and_roundtrips(tmp_path, rng):
     from r3dfsseg_tpu.learners import MPTILearner
     from r3dfsseg_tpu.serve import FewShotPredictor

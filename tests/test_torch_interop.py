@@ -64,6 +64,7 @@ def _reference_style_state_dict(cfg, gen):
     return sd
 
 
+@pytest.mark.slow
 def test_reference_tar_roundtrip(tmp_path, rng):
     cfg = tiny_config()
     sd = _reference_style_state_dict(cfg, rng)
@@ -93,6 +94,7 @@ def test_reference_tar_roundtrip(tmp_path, rng):
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 def test_flax_to_torch_roundtrip(tmp_path, rng):
     """flax -> torch export inverts the torch -> flax converter exactly:
     an initialised MPTINet exported with save_reference_checkpoint and
@@ -125,6 +127,7 @@ def test_flax_to_torch_roundtrip(tmp_path, rng):
         np.testing.assert_allclose(a, b, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_export_strict_loads_into_reference_model(tmp_path, rng):
     """The exported state_dict loads into the REAL reference MPTI_SelfAtten
     with strict=True — every key and shape matches the reference module

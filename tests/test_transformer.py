@@ -1,5 +1,6 @@
 """Transformer baseline (TraNFS-style) tests."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 from r3dfsseg_tpu.config import tiny_config
@@ -42,6 +43,7 @@ def test_transformer_model_train_and_eval(rng):
     assert np.isfinite(np.asarray(out2.query_logits)).all()
 
 
+@pytest.mark.slow
 def test_transformer_learner_step(rng):
     from r3dfsseg_tpu.learners import TransformerLearner
     cfg = tiny_config()
