@@ -184,22 +184,47 @@ def main():
     v5e_bf16_peak = 197e12
     mfu = train_eps * flops / v5e_bf16_peak
 
-    print(json.dumps({
+    # Measured reference anchor (scripts/bench_reference_cpu.py): the REAL
+    # reference model's fwd+bwd+Adam step on CPU torch at the flagship
+    # config, recorded in REF_BENCH.json.  CPU-only (no CUDA device in this
+    # container) but MEASURED — unlike the GPU estimate below.
+    ref_cpu = None
+    try:
+        import os
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "REF_BENCH.json")) as f:
+            ref_cpu = json.load(f)
+    except Exception:
+        pass
+
+    out = {
         "metric": "train_episodes_per_sec_per_chip",
         "value": round(train_eps, 3),
         "unit": "episodes/s",
+        # lead comparisons: measured vs measured
+        "parity_eps_per_sec": round(parity_eps, 3),
+        "eval_eps_per_sec": round(eval_eps, 3),
+        "mfu_vs_bf16_peak": round(mfu, 4),
+    }
+    if ref_cpu is not None:
+        r = ref_cpu["ref_cpu_train_eps_per_sec"]
+        out["ref_cpu_train_eps_per_sec"] = r
+        out["vs_ref_cpu_measured"] = round(train_eps / r, 1)
+        out["ref_cpu_source"] = (
+            "MEASURED: reference MPTI_SelfAtten fwd+bwd+Adam, CPU torch "
+            f"({ref_cpu['torch_threads']} thread), REF_BENCH.json")
+    out.update({
+        # the GPU anchor stays an estimate and says so
         "vs_baseline": round(train_eps / REF_EPS_PER_SEC, 2),
         "baseline_source": "estimate: reference publishes no throughput; "
                            "2 eps/s assumed for its batch-1 CUDA loop with "
                            "CPU faiss + dense 4396^2 inverse per episode",
-        "parity_eps_per_sec": round(parity_eps, 3),
-        "eval_eps_per_sec": round(eval_eps, 3),
         "scene_pts_per_sec_16k": (round(scene_pts, 1)
                                   if scene_pts is not None else None),
         "episode_batch": EBATCH,
         "model_flops_per_episode": round(flops / 1e9, 2),
-        "mfu_vs_bf16_peak": round(mfu, 4),
-    }))
+    })
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
