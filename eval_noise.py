@@ -64,9 +64,12 @@ def test_few_shot(dataset, learner, logger, test_classes, *, eval_mdns=False,
         # h5 reads + stacking on the prefetch thread; the H2D copy happens
         # on the MAIN thread (device_put_prefetch below) — a device_put
         # concurrent with a jit compile deadlocks the tunnelled backend
+        from r3dfsseg_tpu.models.episode import compress_episode_wire
+        wire = getattr(learner.cfg, "wire_format", "int8")
         for start in range(0, n, ebatch):
             eps = [dataset[i] for i in range(start, min(start + ebatch, n))]
-            yield eps, (stack_episodes(eps) if len(eps) > 1 else eps[0])
+            stacked = stack_episodes(eps) if len(eps) > 1 else eps[0]
+            yield eps, compress_episode_wire(stacked, wire)
 
     import inspect
     supports_aux = "return_aux" in inspect.signature(

@@ -175,7 +175,45 @@ def train(cfg: R3DConfig):
             log_step(s, m)
         pending.clear()
 
-    for step, batch in enumerate(device_put_prefetch(loader, n=2)):
+    from r3dfsseg_tpu.models.episode import compress_episode_wire
+
+    # narrow-wire H2D: label arrays int8 (lossless), optionally f16 points
+    # (--wire_format) — the jitted step widens on device.  Cuts the
+    # per-step transfer ~2.4x on a bandwidth-limited link.
+    wired = (compress_episode_wire(b, cfg.wire_format) for b in loader)
+
+    # super-batch transfer (--transfer_batch): ship T steps' batches in ONE
+    # device_put and cut per-step slices on device.  device_put blocks the
+    # host for a full link round-trip (52 ms measured on this container's
+    # tunnel, scripts/bench_cli_sustained.py) while step dispatch is
+    # fire-and-forget — grouping transfers amortises the RTT T-fold and is
+    # a no-op for step semantics.
+    t_batch = max(1, cfg.transfer_batch)
+
+    def superbatches(gen):
+        buf = []
+        for b in gen:
+            buf.append(b)
+            if len(buf) == t_batch:
+                yield jax.tree.map(lambda *xs: np.stack(xs), *buf)
+                buf = []
+        if buf:
+            yield jax.tree.map(lambda *xs: np.stack(xs), *buf)
+
+    take_i = jax.jit(lambda tree, i: jax.tree.map(
+        lambda x: jax.lax.dynamic_index_in_dim(x, i, 0, keepdims=False),
+        tree))
+
+    def step_batches():
+        if t_batch == 1:
+            yield from device_put_prefetch(wired, n=2)
+            return
+        for sup in device_put_prefetch(superbatches(wired), n=2):
+            t_actual = sup.support_x.shape[0]
+            for i in range(t_actual):
+                yield take_i(sup, i)
+
+    for step, batch in enumerate(step_batches()):
         if cfg.profile_dir and step == 3:
             try:
                 jax.profiler.stop_trace()

@@ -113,6 +113,14 @@ def build_parser(eval_mode: bool = False) -> argparse.ArgumentParser:
                    choices=["auto", "pallas", "xla"])
     p.add_argument("--affinity_impl", default="threshold",
                    choices=["threshold", "topk"])
+    p.add_argument("--wire_format", default="int8",
+                   choices=["none", "int8", "f16"],
+                   help="H2D episode transfer format: int8 narrows the "
+                        "label/mask arrays losslessly (default); f16 also "
+                        "halves the point attributes; none sends f32/int32")
+    p.add_argument("--transfer_batch", type=int, default=8,
+                   help="steps' episode batches shipped per device_put "
+                        "(sliced on device); amortises the link round-trip")
     p.add_argument("--compute_dtype", default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--graph_dtype", default="auto",
@@ -179,6 +187,8 @@ def args_to_config(args: argparse.Namespace, eval_mode: bool = False) -> R3DConf
         lp_cg_iters=args.lp_cg_iters,
         lp_adjoint_iters=args.lp_adjoint_iters, knn_impl=args.knn_impl,
         attn_impl=args.attn_impl, affinity_impl=args.affinity_impl,
+        wire_format=getattr(args, "wire_format", "int8"),
+        transfer_batch=getattr(args, "transfer_batch", 8),
         compute_dtype=args.compute_dtype,
         graph_dtype=getattr(args, "graph_dtype", "auto"),
         attn_f32=getattr(args, "attn_f32", False),

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from r3dfsseg_tpu.config import R3DConfig
 from r3dfsseg_tpu.learners.base import (MeshedLearner, TrainState,
                                          create_train_state, make_optimizer)
-from r3dfsseg_tpu.models.episode import Episode
+from r3dfsseg_tpu.models.episode import Episode, widen_episode
 from r3dfsseg_tpu.models.mpti import MPTINet
 
 Array = jax.Array
@@ -74,6 +74,7 @@ class MPTILearner(MeshedLearner):
 
     # ------------------------------------------------------------------
     def _train_step_impl(self, state: TrainState, ep: Episode, rng):
+        ep = widen_episode(ep)   # narrow-wire H2D format -> model dtypes
         c = self.cfg
 
         def loss_fn(params):
@@ -95,6 +96,7 @@ class MPTILearner(MeshedLearner):
         return new_state, metrics
 
     def _eval_step_impl(self, state: TrainState, ep: Episode, *, eval_mdns: bool):
+        ep = widen_episode(ep)
         out = self.model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             ep, train=False, eval_mdns=eval_mdns)

@@ -9,7 +9,7 @@ import jax.numpy as jnp
 from r3dfsseg_tpu.config import R3DConfig
 from r3dfsseg_tpu.learners.base import (MeshedLearner, TrainState,
                                          create_train_state, make_optimizer)
-from r3dfsseg_tpu.models.episode import Episode
+from r3dfsseg_tpu.models.episode import Episode, widen_episode
 from r3dfsseg_tpu.models.protonet import ProtoNet
 
 Array = jax.Array
@@ -39,6 +39,7 @@ class ProtoLearner(MeshedLearner):
                                 encoder_only=encoder_only)
 
     def _train_step_impl(self, state: TrainState, ep: Episode, rng):
+        ep = widen_episode(ep)
         c = self.cfg
 
         def loss_fn(params):
@@ -59,6 +60,7 @@ class ProtoLearner(MeshedLearner):
         return new_state, metrics
 
     def _eval_step_impl(self, state: TrainState, ep: Episode, *, eval_mdns: bool):
+        ep = widen_episode(ep)
         out = self.model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             ep, train=False, eval_mdns=eval_mdns)

@@ -11,7 +11,7 @@ import jax.numpy as jnp
 from r3dfsseg_tpu.config import R3DConfig
 from r3dfsseg_tpu.learners.base import (MeshedLearner, TrainState,
                                          create_train_state, make_optimizer)
-from r3dfsseg_tpu.models.episode import Episode
+from r3dfsseg_tpu.models.episode import Episode, widen_episode
 from r3dfsseg_tpu.models.transformer import ProtoNetTransformer
 
 
@@ -45,6 +45,8 @@ class TransformerLearner(MeshedLearner):
                                 encoder_only=encoder_only)
 
     def _train_step_impl(self, state: TrainState, ep: Episode, rng):
+        ep = widen_episode(ep)
+
         def loss_fn(params):
             out, mut = self.model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
@@ -67,6 +69,7 @@ class TransformerLearner(MeshedLearner):
 
     def _eval_step_impl(self, state: TrainState, ep: Episode, *,
                         eval_mdns: bool):
+        ep = widen_episode(ep)
         out = self.model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             ep, train=False)

@@ -40,6 +40,50 @@ class Episode(NamedTuple):
         return jax.tree.map(lambda a: a[None] if a is not None else None, self)
 
 
+def compress_episode_wire(ep: Episode, wire_format: str = "int8") -> Episode:
+    """Shrink the host->device transfer (numpy, host side).
+
+    The H2D copy is the CLI loop's dominant per-step cost on a
+    bandwidth-limited link (~1.2 MB/step at f32/int32 for the flagship
+    episode).  Label/mask/flag arrays hold values in [0, n_classes] so the
+    int32->int8 narrowing is LOSSLESS — on by default.  'f16' additionally
+    sends the point attributes as float16 (~2^-11 relative rounding of
+    inputs that are O(1); opt-in).  `widen_episode` restores wide dtypes
+    inside the jitted step, so models never see narrow arrays.
+    """
+    if wire_format in (None, "none", "f32"):
+        return ep
+
+    def narrow(x):
+        if x is None:
+            return None
+        x = np.asarray(x)
+        if np.issubdtype(x.dtype, np.integer):
+            return x.astype(np.int8)     # labels/masks/flags/class ids
+        if wire_format == "f16" and x.dtype == np.float32:
+            return x.astype(np.float16)
+        return x
+
+    return Episode(*(narrow(v) for v in ep))
+
+
+def widen_episode(ep: Episode) -> Episode:
+    """Inverse of `compress_episode_wire`, traced inside the jitted step
+    (the casts fuse with the first consumers; no extra launches)."""
+    import jax.numpy as jnp
+
+    def widen(x):
+        if x is None:
+            return None
+        if jnp.issubdtype(x.dtype, jnp.integer) and x.dtype != jnp.int32:
+            return x.astype(jnp.int32)
+        if x.dtype == jnp.float16:
+            return x.astype(jnp.float32)
+        return x
+
+    return Episode(*(widen(v) for v in ep))
+
+
 def stack_episodes(episodes) -> Episode:
     """Stack host-side episodes into one batched Episode (numpy)."""
     fields = {}

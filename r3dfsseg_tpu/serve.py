@@ -262,20 +262,36 @@ class FewShotPredictor:
                     node_feat, y0, mesh=mesh, k=c.k_connect, sigma=c.sigma,
                     alpha=c.lp_alpha, valid=node_valid, iters=c.lp_cg_iters)
             else:
-                from r3dfsseg_tpu.ops.lp import (label_propagate,
-                                                 local_constrained_affinity)
                 # same relaxed-precision contract as the episode core: a
                 # bf16 compute/graph dtype halves the M^2 graph traffic
                 # (accuracy A/B in BASELINE.md); f32 configs stay exact
                 gd = (c.compute_dtype if c.graph_dtype == "auto"
                       else c.graph_dtype)
                 lowp = jnp.bfloat16 if gd == "bfloat16" else None
-                a = local_constrained_affinity(
-                    node_feat, c.k_connect, c.sigma, valid=node_valid,
-                    impl="threshold", compare_dtype=lowp)
-                z = label_propagate(a, y0, c.lp_alpha, solver="cheby",
-                                    cg_iters=c.lp_cg_iters,
-                                    matvec_dtype=lowp)
+                m_nodes = node_feat.shape[0]
+                impl = os.environ.get("R3D_SCENE_LP", "auto")
+                # dense M^2 is faster while it fits (one gram + VMEM-ish
+                # matvecs; 193 ms at 16k on v5e) — past ~18k nodes its
+                # buffers crowd one chip's HBM and the matrix-free path
+                # takes over, lifting the single-chip cap to 64k+ points
+                use_blocked = (impl == "blocked"
+                               or (impl == "auto" and m_nodes > 18000))
+                if use_blocked:
+                    from r3dfsseg_tpu.ops.lp_blocked import (
+                        blocked_label_propagate)
+                    z = blocked_label_propagate(
+                        node_feat, y0, k=c.k_connect, sigma=c.sigma,
+                        alpha=c.lp_alpha, valid=node_valid,
+                        iters=c.lp_cg_iters, compute_dtype=lowp)
+                else:
+                    from r3dfsseg_tpu.ops.lp import (
+                        label_propagate, local_constrained_affinity)
+                    a = local_constrained_affinity(
+                        node_feat, c.k_connect, c.sigma, valid=node_valid,
+                        impl="threshold", compare_dtype=lowp)
+                    z = label_propagate(a, y0, c.lp_alpha, solver="cheby",
+                                        cg_iters=c.lp_cg_iters,
+                                        matvec_dtype=lowp)
             return jnp.argmax(z[protos.shape[0]:], axis=-1)
 
         cache[key] = jax.jit(fn)

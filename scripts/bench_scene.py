@@ -2,12 +2,16 @@
 """Whole-scene serving benchmark: FewShotPredictor.predict_scene
 points/sec on the current backend at the flagship config.
 
-The graph is the cost driver: M = 300 + P nodes, and the unsharded
-threshold-affinity + Chebyshev path streams ~6 full M^2 f32 buffers, so
-single-chip capacity tops out around P ~ 16-24k on a 16 GB v5e; beyond
-that the node-sharded path (mesh) splits M^2 over the mesh.
+The graph is the cost driver: M = 300 + P nodes.  Below ~12k nodes the
+dense threshold-affinity + Chebyshev path materialises M^2 buffers; above
+it `ops/lp_blocked.py` streams row tiles of the affinity through the
+matvecs (O(row_tile x M) memory), lifting the single-chip cap from
+~16-24k to 64k+ points.  The node-sharded path (mesh) remains the
+scale-out option.
 
-Usage: python scripts/bench_scene.py [P ...]   (default 8192 16384)
+Usage: python scripts/bench_scene.py [P ...]
+       (default 8192 16384 32768 65536; the two large sizes take the
+        blocked path automatically)
 """
 import os
 import sys
@@ -19,7 +23,7 @@ import numpy as np
 
 
 def main():
-    sizes = [int(a) for a in sys.argv[1:]] or [8192, 16384]
+    sizes = [int(a) for a in sys.argv[1:]] or [8192, 16384, 32768, 65536]
     from r3dfsseg_tpu.config import R3DConfig
     from r3dfsseg_tpu.learners import MPTILearner
     from r3dfsseg_tpu.serve import FewShotPredictor

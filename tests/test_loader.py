@@ -131,3 +131,43 @@ def test_ordered_mode_backpressure():
     gate.set()
     consumer.join(timeout=20)
     assert len(vals) == 40
+
+
+@pytest.mark.slow
+def test_wire_format_roundtrip_and_step_equivalence(rng):
+    """compress_episode_wire -> widen_episode is lossless for int8 (labels)
+    and ~2^-11 for f16 points; a jitted eval step on the compressed wire
+    matches the uncompressed step."""
+    import jax
+
+    from r3dfsseg_tpu.config import tiny_config
+    from r3dfsseg_tpu.learners import MPTILearner
+    from r3dfsseg_tpu.models.episode import (
+        compress_episode_wire, widen_episode)
+    from tests.test_models_smoke import _episode
+
+    cfg = tiny_config()
+    ep = _episode(cfg, rng)
+
+    for wire, float_exact in (("int8", True), ("f16", False)):
+        c = compress_episode_wire(ep, wire)
+        assert c.support_y.dtype == np.int8
+        assert c.query_y.dtype == np.int8
+        w = jax.tree.map(np.asarray, widen_episode(
+            jax.tree.map(jax.numpy.asarray, c)))
+        np.testing.assert_array_equal(w.support_y, ep.support_y)
+        np.testing.assert_array_equal(w.query_y, ep.query_y)
+        np.testing.assert_array_equal(w.support_flag, ep.support_flag)
+        if float_exact:
+            np.testing.assert_array_equal(w.support_x, ep.support_x)
+        else:
+            np.testing.assert_allclose(w.support_x, ep.support_x,
+                                       rtol=1e-3, atol=1e-3)
+    assert compress_episode_wire(ep, "none") is ep
+
+    learner = MPTILearner(cfg)
+    learner.init(ep)
+    pred_f32, loss_f32, _ = learner.test(ep)
+    pred_i8, loss_i8, _ = learner.test(compress_episode_wire(ep, "int8"))
+    np.testing.assert_array_equal(np.asarray(pred_i8), np.asarray(pred_f32))
+    np.testing.assert_allclose(float(loss_i8), float(loss_f32), rtol=1e-6)

@@ -160,3 +160,56 @@ def test_sp_label_propagate_cosine(rng):
                               iters=20)
     np.testing.assert_allclose(np.asarray(z_sp), np.asarray(z_ref),
                                rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.slow
+def test_mesh_size_independence_1_2_4_8(rng):
+    """Batching math is mesh-size independent: the SAME global batch of 8
+    episodes gives the same loss whether it runs on 1, 2, 4 or 8 devices
+    (XLA's gradient all-reduce only changes the f32 accumulation order)."""
+    cfg = tiny_config(episode_batch=8, lp_cg_iters=10, pc_npts=32, dgcnn_k=4)
+    eps = [_episode(cfg, rng) for _ in range(8)]
+    batch = stack_episodes(eps)
+
+    losses = {}
+    for n_dev in (1, 2, 4, 8):
+        learner = MPTILearner(cfg, rng=jax.random.PRNGKey(0))
+        learner.init(eps[0])
+        if n_dev > 1:
+            mesh = make_mesh(n_dev)
+            learner.state = replicate(learner.state, mesh)
+            with mesh:
+                m = learner.train(shard_episode(batch, mesh))
+        else:
+            m = learner.train(jax.tree.map(jnp.asarray, batch))
+        losses[n_dev] = float(m["loss"])
+
+    base = losses[1]
+    for n_dev, loss in losses.items():
+        np.testing.assert_allclose(loss, base, rtol=1e-4, atol=1e-5,
+                                   err_msg=f"mesh size {n_dev}")
+
+
+@pytest.mark.slow
+def test_predict_scene_mesh_sizes_2_and_8(rng):
+    """Node-sharded whole-scene serving agrees with the single-device graph
+    at BOTH mesh sizes (2 and 8 devices)."""
+    from r3dfsseg_tpu.serve import FewShotPredictor
+    from tests.test_serve import _episode as serve_episode
+
+    cfg = tiny_config(lp_cg_iters=10)
+    ep = serve_episode(cfg, rng)
+    learner = MPTILearner(cfg)
+    learner.init(ep)
+    p = FewShotPredictor(cfg, learner)
+
+    n_pts = 2 * cfg.pc_npts + 9
+    xyz = rng.uniform(0, 4, size=(n_pts, 3)).astype(np.float32)
+    rgb = rng.uniform(size=(n_pts, 3)).astype(np.float32)
+    args = (np.asarray(ep.support_x), np.asarray(ep.support_y), xyz, rgb)
+
+    lab1 = p.predict_scene(*args)
+    for n_dev in (2, 8):
+        lab_n = p.predict_scene(*args, mesh=make_mesh(n_dev))
+        np.testing.assert_array_equal(lab1, lab_n,
+                                      err_msg=f"mesh size {n_dev}")

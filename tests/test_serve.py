@@ -124,3 +124,31 @@ def test_predict_scene_whole_scene_graph(tmp_path, rng):
                              np.asarray(ep.support_y),
                              scene_xyz, scene_rgb, mesh=make_mesh(8))
     np.testing.assert_array_equal(lab, lab_sp)
+
+
+def test_predict_scene_blocked_matches_dense(tmp_path, rng, monkeypatch):
+    """The matrix-free scene LP (R3D_SCENE_LP=blocked) predicts the same
+    labels as the dense single-chip graph — the 64k-point path is
+    semantics-identical, just O(R*M) memory."""
+    from r3dfsseg_tpu.learners import MPTILearner
+    from r3dfsseg_tpu.serve import FewShotPredictor
+    from tests.test_serve import _episode  # self-import safe under pytest
+
+    cfg = tiny_config(lp_cg_iters=20)
+    ep = _episode(cfg, rng)
+    learner = MPTILearner(cfg)
+    learner.init(ep)
+
+    n_pts = 3 * cfg.pc_npts + 5
+    scene_xyz = rng.uniform(0, 4, size=(n_pts, 3)).astype(np.float32)
+    scene_rgb = rng.uniform(size=(n_pts, 3)).astype(np.float32)
+    args = (np.asarray(ep.support_x), np.asarray(ep.support_y),
+            scene_xyz, scene_rgb)
+
+    monkeypatch.setenv("R3D_SCENE_LP", "dense")
+    lab_dense = FewShotPredictor(cfg, learner).predict_scene(*args)
+    monkeypatch.setenv("R3D_SCENE_LP", "blocked")
+    lab_blocked = FewShotPredictor(cfg, learner).predict_scene(*args)
+
+    assert (lab_dense == lab_blocked).mean() > 0.99, \
+        (lab_dense != lab_blocked).sum()
