@@ -24,7 +24,11 @@ class ProtoLearner(MeshedLearner):
         self.tx = make_optimizer(cfg)
         self._rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
         self.state: Optional[TrainState] = None
-        self._train_step = jax.jit(self._train_step_impl)
+        # donate the TrainState: params/opt-state buffers alias
+        # in place instead of staging copies (the caller always
+        # replaces self.state with the returned one)
+        self._train_step = jax.jit(self._train_step_impl,
+                                   donate_argnums=0)
         self._eval_step = jax.jit(self._eval_step_impl,
                                   static_argnames=("eval_mdns",))
 

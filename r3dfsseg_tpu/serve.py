@@ -270,16 +270,22 @@ class FewShotPredictor:
                 lowp = jnp.bfloat16 if gd == "bfloat16" else None
                 m_nodes = node_feat.shape[0]
                 impl = os.environ.get("R3D_SCENE_LP", "auto")
-                # dense M^2 is faster while it fits (one gram + VMEM-ish
-                # matvecs; 193 ms at 16k on v5e) — past ~18k nodes its
-                # buffers crowd one chip's HBM and the matrix-free path
-                # takes over, lifting the single-chip cap to 64k+ points
-                use_blocked = (impl == "blocked"
-                               or (impl == "auto" and m_nodes > 18000))
-                if use_blocked:
+                # dense M^2 is fastest while it fits (one fused build +
+                # VMEM-ish matvecs; 193 ms at 16k on v5e) — past ~18k
+                # nodes its several M^2 f32 build buffers crowd one chip's
+                # HBM.  Above that the blocked path takes over: build the
+                # graph tile by tile into one half-width matrix when THAT
+                # fits (<= 8.5 GB), else rematerialise per matvec — one
+                # chip serves 64k+ points either way.  R3D_SCENE_LP=
+                # sparse selects the experimental gather-matvec variant
+                # (a measured TPU anti-pattern; kept for study).
+                if impl in ("blocked", "sparse") or (impl == "auto"
+                                                     and m_nodes > 18000):
                     from r3dfsseg_tpu.ops.lp_blocked import (
-                        blocked_label_propagate)
-                    z = blocked_label_propagate(
+                        blocked_label_propagate, sparse_label_propagate)
+                    fn_lp = (sparse_label_propagate if impl == "sparse"
+                             else blocked_label_propagate)
+                    z = fn_lp(
                         node_feat, y0, k=c.k_connect, sigma=c.sigma,
                         alpha=c.lp_alpha, valid=node_valid,
                         iters=c.lp_cg_iters, compute_dtype=lowp)

@@ -64,3 +64,43 @@ def test_blocked_tile_size_invariant(rng):
         for rt in (64, 128, 512)]
     np.testing.assert_allclose(out[0], out[1], rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(out[0], out[2], rtol=1e-5, atol=1e-6)
+
+
+def test_blocked_store_matches_stream(rng):
+    """store_graph=True (build-once matrix) and False (rematerialising
+    matvecs) produce the same propagation."""
+    feat, valid, y = _graph(rng, m=330)
+    kw = dict(k=12, sigma=0.0, alpha=0.99, valid=jnp.asarray(valid),
+              iters=40, row_tile=128)
+    z_store = np.asarray(blocked_label_propagate(
+        jnp.asarray(feat), jnp.asarray(y), store_graph=True, **kw))
+    z_stream = np.asarray(blocked_label_propagate(
+        jnp.asarray(feat), jnp.asarray(y), store_graph=False, **kw))
+    np.testing.assert_allclose(z_store, z_stream, rtol=1e-5, atol=1e-6)
+
+
+def test_sparse_close_to_dense(rng):
+    """Sparsify-once path: >99% label agreement with the dense graph and
+    tight Z agreement when width covers every row's true entry count."""
+    from r3dfsseg_tpu.ops.lp_blocked import sparse_label_propagate
+
+    feat, valid, y = _graph(rng, m=600)
+    k, alpha, iters = 20, 0.99, 60
+    a = local_constrained_affinity(
+        jnp.asarray(feat), k, 1.0, valid=jnp.asarray(valid),
+        impl="threshold")
+    z_dense = np.asarray(label_propagate(
+        a, jnp.asarray(y), alpha, solver="cheby", cg_iters=iters))
+
+    # width = m: no truncation — matches the dense graph tightly
+    z_full = np.asarray(sparse_label_propagate(
+        jnp.asarray(feat), jnp.asarray(y), k=k, sigma=1.0, alpha=alpha,
+        valid=jnp.asarray(valid), iters=iters, row_tile=128, width=600))
+    np.testing.assert_allclose(z_full, z_dense, rtol=2e-4, atol=2e-5)
+
+    # default width (2k + slack): serving-grade agreement
+    z_sparse = np.asarray(sparse_label_propagate(
+        jnp.asarray(feat), jnp.asarray(y), k=k, sigma=1.0, alpha=alpha,
+        valid=jnp.asarray(valid), iters=iters, row_tile=128))
+    agree = (z_sparse[valid].argmax(-1) == z_dense[valid].argmax(-1)).mean()
+    assert agree > 0.99, agree
