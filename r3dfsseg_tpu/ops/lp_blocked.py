@@ -214,9 +214,13 @@ def sparse_label_propagate(
     row criterion contributes exactly k entries, the column criterion
     ~k on average, so the dropped mass is the far tail of the smallest
     weights.  Degrees use the KEPT mass, preserving the near-stochastic
-    row scaling Chebyshev's spectral bound relies on.  Serving-grade
-    approximation — `tests/test_lp_blocked.py` pins >99% label agreement
-    with the dense graph.
+    row scaling Chebyshev's spectral bound relies on.
+    `tests/test_lp_blocked.py` pins >99% label agreement with the dense
+    graph — but MEASURED ON v5e this loses to the dense-streaming modes
+    (5.7 s vs 0.4-0.6 s at 32k points: the (M, width) gather matvec is a
+    TPU anti-pattern).  Kept as an env-selectable experiment
+    (`R3D_SCENE_LP=sparse`) with that result on record; use
+    `blocked_label_propagate` in production.
     """
     m, d = node_feat.shape
     r_t = int(row_tile)
