@@ -729,3 +729,122 @@ def _check_cached_episode(ds, ep, sampled, classes):
             want[raw[rows, 6] == int(c)] = j + 1
         np.testing.assert_array_equal(np.asarray(qy[w], np.int64), want)
     assert len(sids) == len(set(sids))
+
+
+# ========================================================================
+# augmentation: exact parity under scripted draws (loader.py:354-373)
+# ========================================================================
+
+def _install_real_transforms3d_stub():
+    """The module-level shim registers transforms3d as an EMPTY module so
+    the loader imports; give it the real math (formulas transliterated
+    from the transforms3d package) so augment_pointcloud runs."""
+    t3d = sys.modules["transforms3d"]
+    zooms = types.ModuleType("transforms3d.zooms")
+
+    def zfdir2mat(factor, direction=None):
+        if direction is None:
+            return np.diag([factor] * 3).astype(float)
+        d = np.asarray(direction, float)
+        d = d / np.sqrt(np.sum(d * d))
+        return np.identity(3) - (1.0 - factor) * np.outer(d, d)
+
+    zooms.zfdir2mat = zfdir2mat
+    axangles = types.ModuleType("transforms3d.axangles")
+
+    def axangle2mat(axis, angle, is_normalized=False):
+        x, y, z = np.asarray(axis, float) / np.sqrt(
+            np.sum(np.asarray(axis, float) ** 2))
+        c, s = np.cos(angle), np.sin(angle)
+        C = 1.0 - c
+        return np.array([
+            [x * x * C + c, x * y * C - z * s, x * z * C + y * s],
+            [y * x * C + z * s, y * y * C + c, y * z * C - x * s],
+            [z * x * C - y * s, z * y * C + x * s, z * z * C + c]])
+
+    axangles.axangle2mat = axangle2mat
+    t3d.zooms = zooms
+    t3d.axangles = axangles
+
+
+def test_augmentation_exact_parity(rng, monkeypatch):
+    """Same scripted draws -> bit-level agreement of the scale/z-rot/
+    mirror matrix composition and the clipped float32 jitter between the
+    reference `augment_pointcloud` and ours (data/sampler.py)."""
+    from r3dfsseg_tpu.data.sampler import augment_pointcloud as ours_augment
+
+    _install_real_transforms3d_stub()
+    n = 200
+    P = rng.uniform(0, 4, size=(n, 3))
+    normals = rng.standard_normal((n, 3))
+    cfg = {"scale": 1.5, "rot": 1, "mirror_prob": 1.0, "jitter": 1}
+    uniforms = [1.31, 2.2]          # scale in [1/1.5, 1.5]... then angle
+    randoms = [0.2, 0.9]            # mirror x yes (<0.5), mirror y no
+
+    seq_u, seq_r = list(uniforms), list(randoms)
+    monkeypatch.setattr(ref_loader.random, "uniform",
+                        lambda a, b: seq_u.pop(0))
+    monkeypatch.setattr(ref_loader.random, "random", lambda: seq_r.pop(0))
+    monkeypatch.setattr(ref_loader.np.random, "randn",
+                        lambda *s: normals.reshape(s))
+    ref_out = ref_loader.augment_pointcloud(P.copy(), cfg)
+
+    class _Gen:
+        def __init__(self):
+            self.u, self.r = list(uniforms), list(randoms)
+
+        def uniform(self, a, b):
+            return self.u.pop(0)
+
+        def random(self):
+            return self.r.pop(0)
+
+        def standard_normal(self, shape):
+            return normals.reshape(shape)
+
+    our_out = ours_augment(P.copy(), cfg, _Gen())
+    np.testing.assert_allclose(our_out, ref_out, rtol=1e-12, atol=1e-12)
+
+    # and with every augmentation disabled both are exact no-ops
+    cfg0 = {"scale": 0, "rot": 0, "mirror_prob": 0, "jitter": 0}
+    np.testing.assert_allclose(
+        ours_augment(P.copy(), cfg0, _Gen()),
+        ref_loader.augment_pointcloud(P.copy(), cfg0), rtol=0, atol=0)
+
+
+def test_scannet_class2scans_parity(tmp_path):
+    """Same exact-parity check for the ScanNet catalog (scannet.py:38-69;
+    train classes exclude class 0 'unannotated', :33-34)."""
+    sys.path.insert(0, "/root/reference")
+    try:
+        from dataloaders.scannet import ScanNetDataset as RefScanNet
+    finally:
+        sys.path.remove("/root/reference")
+    from r3dfsseg_tpu.data.catalogs import SCANNET_CLASSNAMES
+
+    root = str(tmp_path / "blocks")
+    os.makedirs(os.path.join(root, "data"))
+    meta = os.path.join(str(tmp_path), "meta")
+    os.makedirs(meta, exist_ok=True)
+    with open(os.path.join(meta, "scannet_classnames.txt"), "w") as f:
+        f.write("\n".join(SCANNET_CLASSNAMES) + "\n")
+    gen = np.random.default_rng(4)
+    for s in range(30):
+        cls_ids = [(s + 5 * j) % 21 for j in range(4)]
+        rows = []
+        for c in cls_ids:
+            block = np.zeros((256, 8))
+            block[:, :3] = gen.uniform(0, 5, size=(256, 3))
+            block[:, 6] = c
+            block[:, 7] = c
+            rows.append(block)
+        np.save(os.path.join(root, "data", f"scene{s:04d}.npy"),
+                np.concatenate(rows))
+
+    ref = _quiet(RefScanNet, 0, root)
+    os.remove(os.path.join(root, "class2scans.pkl"))
+    ours = get_catalog("scannet", 0, root)
+    assert {k: sorted(v) for k, v in ref.class2scans.items()} == \
+           {int(k): sorted(v) for k, v in ours.class2scans.items()}
+    assert list(ref.test_classes) == list(ours.test_classes)
+    assert list(ref.train_classes) == list(ours.train_classes)
