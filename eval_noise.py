@@ -111,15 +111,50 @@ def test_few_shot(dataset, learner, logger, test_classes, *, eval_mdns=False,
             logger.cprint("[Eval] Iter: %d | Loss: %.4f | %s" % (
                 done, loss, str(datetime.now())))
 
+    # super-batch transfers, as in the train loop: group T equal-shaped
+    # batches per device_put (one link round-trip for all T), slice per
+    # step on device.  The tail batch may be ragged — it ships alone.
+    t_batch = max(1, getattr(learner.cfg, "transfer_batch", 1))
+
+    def superbatches(gen):
+        buf: list = []
+
+        def flush():
+            if not buf:
+                return
+            if len(buf) == 1:
+                yield [buf[0][0]], buf[0][1], 1
+            else:
+                yield ([e for e, _ in buf],
+                       jax.tree.map(lambda *xs: np.stack(xs),
+                                    *[b for _, b in buf]), len(buf))
+            buf.clear()
+
+        last_shape = None
+        for eps, batch in gen:
+            shape = batch.support_x.shape
+            if buf and (shape != last_shape or len(buf) == t_batch):
+                yield from flush()
+            buf.append((eps, batch))
+            last_shape = shape
+        yield from flush()
+
+    take_i = jax.jit(lambda tree, i: jax.tree.map(
+        lambda x: jax.lax.dynamic_index_in_dim(x, i, 0, keepdims=False),
+        tree))
+
     src = device_put_prefetch(
-        prefetch_iter(batches(), prefetch=4), n=2,
-        put=lambda t: (t[0], jax.device_put(t[1])))
+        prefetch_iter(superbatches(batches()), prefetch=4), n=2,
+        put=lambda t: (t[0], jax.device_put(t[1]), t[2]))
     pending = None
-    for eps, batch in src:
-        refs = dispatch(batch)      # async; previous step fetches below
-        if pending is not None:
-            consume(*pending)
-        pending = (eps, *refs)
+    for eps_group, sup, t_actual in src:
+        for i in range(t_actual):
+            eps = eps_group[i] if t_actual > 1 else eps_group[0]
+            batch = take_i(sup, i) if t_actual > 1 else sup
+            refs = dispatch(batch)  # async; previous step fetches below
+            if pending is not None:
+                consume(*pending)
+            pending = (eps, *refs)
     if pending is not None:
         consume(*pending)
     mean_loss = total_loss / max(n, 1)
