@@ -114,34 +114,15 @@ def test_few_shot(dataset, learner, logger, test_classes, *, eval_mdns=False,
     # super-batch transfers, as in the train loop: group T equal-shaped
     # batches per device_put (one link round-trip for all T), slice per
     # step on device.  The tail batch may be ragged — it ships alone.
+    from r3dfsseg_tpu.data.loader import (group_equal_shape, make_take_i,
+                                          stack_superbatch)
     t_batch = max(1, getattr(learner.cfg, "transfer_batch", 1))
+    take_i = make_take_i()
 
     def superbatches(gen):
-        buf: list = []
-
-        def flush():
-            if not buf:
-                return
-            if len(buf) == 1:
-                yield [buf[0][0]], buf[0][1], 1
-            else:
-                yield ([e for e, _ in buf],
-                       jax.tree.map(lambda *xs: np.stack(xs),
-                                    *[b for _, b in buf]), len(buf))
-            buf.clear()
-
-        last_shape = None
-        for eps, batch in gen:
-            shape = batch.support_x.shape
-            if buf and (shape != last_shape or len(buf) == t_batch):
-                yield from flush()
-            buf.append((eps, batch))
-            last_shape = shape
-        yield from flush()
-
-    take_i = jax.jit(lambda tree, i: jax.tree.map(
-        lambda x: jax.lax.dynamic_index_in_dim(x, i, 0, keepdims=False),
-        tree))
+        for g in group_equal_shape(gen, t_batch, get_batch=lambda t: t[1]):
+            yield ([e for e, _ in g],
+                   stack_superbatch([b for _, b in g]), len(g))
 
     src = device_put_prefetch(
         prefetch_iter(superbatches(batches()), prefetch=4), n=2,

@@ -188,30 +188,25 @@ def train(cfg: R3DConfig):
     # tunnel, scripts/bench_cli_sustained.py) while step dispatch is
     # fire-and-forget — grouping transfers amortises the RTT T-fold and is
     # a no-op for step semantics.
+    from r3dfsseg_tpu.data.loader import (group_equal_shape, make_take_i,
+                                          stack_superbatch)
     t_batch = max(1, cfg.transfer_batch)
-
-    def superbatches(gen):
-        buf = []
-        for b in gen:
-            buf.append(b)
-            if len(buf) == t_batch:
-                yield jax.tree.map(lambda *xs: np.stack(xs), *buf)
-                buf = []
-        if buf:
-            yield jax.tree.map(lambda *xs: np.stack(xs), *buf)
-
-    take_i = jax.jit(lambda tree, i: jax.tree.map(
-        lambda x: jax.lax.dynamic_index_in_dim(x, i, 0, keepdims=False),
-        tree))
+    take_i = make_take_i()
 
     def step_batches():
         if t_batch == 1:
             yield from device_put_prefetch(wired, n=2)
             return
-        for sup in device_put_prefetch(superbatches(wired), n=2):
-            t_actual = sup.support_x.shape[0]
-            for i in range(t_actual):
-                yield take_i(sup, i)
+        groups = (
+            (len(g), stack_superbatch(g))
+            for g in group_equal_shape(wired, t_batch))
+        for n_in, sup in device_put_prefetch(
+                groups, n=2, put=lambda t: (t[0], jax.device_put(t[1]))):
+            if n_in == 1:
+                yield sup
+            else:
+                for i in range(n_in):
+                    yield take_i(sup, i)
 
     for step, batch in enumerate(step_batches()):
         if cfg.profile_dir and step == 3:

@@ -178,3 +178,41 @@ class EpisodeLoader:
                     q.get_nowait()
                 except queue.Empty:
                     break
+
+
+def group_equal_shape(gen, t_batch: int, get_batch=lambda x: x):
+    """Group consecutive items whose episode batch has an identical
+    support_x shape into lists of up to ``t_batch`` (ragged/odd-shaped
+    tails ship alone).  Shared by both CLIs' super-batched H2D transfer
+    paths (one device_put per group amortises the link round-trip)."""
+    buf: list = []
+    last = None
+    for item in gen:
+        shape = get_batch(item).support_x.shape
+        if buf and (shape != last or len(buf) >= max(t_batch, 1)):
+            yield buf
+            buf = []
+        buf.append(item)
+        last = shape
+    if buf:
+        yield buf
+
+
+def stack_superbatch(batches):
+    """Stack a group of equal-shaped episode batches along a new leading
+    transfer axis (numpy, host side)."""
+    import jax
+    import numpy as np
+    if len(batches) == 1:
+        return batches[0]
+    return jax.tree.map(lambda *xs: np.stack(xs), *batches)
+
+
+def make_take_i():
+    """One jitted on-device slicer: superbatch tree + index -> one step's
+    batch (a single dispatch per step; dynamic_index keeps one executable
+    for every i)."""
+    import jax
+    return jax.jit(lambda tree, i: jax.tree.map(
+        lambda x: jax.lax.dynamic_index_in_dim(x, i, 0, keepdims=False),
+        tree))

@@ -47,6 +47,81 @@ def _tile_sqdist(fi: Array, f_all: Array, ni: Array, n_all: Array) -> Array:
     return jnp.maximum(ni[:, None] + n_all[None, :] - 2.0 * g, 0.0)
 
 
+def _graph_build(node_feat, valid, *, k, sigma, row_tile, compute_dtype):
+    """Shared build preamble for both scene-LP variants: pad + center the
+    features, define the masked-distance row tiles, compute the per-row
+    k-th-distance radii (value-space bisection over ONE GLOBAL interval,
+    so the radii are independent of the tiling — mirroring the sharded
+    path's global-hi contract, lp.py:259-262) and the bandwidth.
+
+    Returns (m_pad, n_tiles, vpad, radii, sigma2, masked_tile,
+    affinity_tile)."""
+    m, d = node_feat.shape
+    r_t = int(row_tile)
+    m_pad = ((m + r_t - 1) // r_t) * r_t
+    n_tiles = m_pad // r_t
+
+    f32 = node_feat.astype(jnp.float32)
+    vpad = jnp.zeros((m_pad,), bool).at[:m].set(valid)
+    # centered features: bf16 gram rounding lands relative, not absolute
+    # (lp.py:80-89); exact no-op for the f32 path
+    xc = f32 - jnp.mean(jnp.where(valid[:, None], f32, 0.0), axis=0,
+                        keepdims=True)
+    norms = jnp.sum(xc * xc, axis=-1)
+    cmp_dt = compute_dtype or jnp.float32
+    fpad = jnp.zeros((m_pad, d), cmp_dt).at[:m].set(xc.astype(cmp_dt))
+    npad = jnp.zeros((m_pad,), jnp.float32).at[:m].set(norms)
+
+    big = jnp.asarray(_BIG, jnp.float32)
+    iota = jnp.arange(m_pad)
+
+    def masked_tile(t):
+        """(R, M_pad) distances for row tile t with self/invalid pushed out."""
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, t * r_t, r_t)  # noqa: E731
+        dist = _tile_sqdist(sl(fpad), fpad, sl(npad), npad)
+        rows = jax.lax.dynamic_slice_in_dim(iota, t * r_t, r_t)
+        dead = ((rows[:, None] == iota[None, :])
+                | ~vpad[None, :] | ~sl(vpad)[:, None])
+        return jnp.where(dead, big, dist), dead
+
+    # global bisection bound: d_ij = |xi - xj|^2 <= 4 * max|x|^2 bounds
+    # every real pairwise distance, is tiling-independent, and needs no
+    # extra distance pass
+    hi_global = 4.0 * jnp.maximum(
+        jnp.max(jnp.where(vpad[:m_pad], npad, 0.0)), 1e-6)
+
+    def radius_tile(t):
+        # bisection, not top_k: lax.top_k at k=200 over 33k-wide rows is
+        # O(M*k) VPU work (seconds per build); the value-space bisection
+        # is 32 bandwidth-bound passes over the tile — the same radius
+        # semantics as the dense threshold path (lp.py:251-279)
+        dist, _ = masked_tile(t)
+        return _kth_smallest_per_row(dist, k, iters=32,
+                                     hi=hi_global).reshape(-1)
+
+    radii = jax.lax.map(radius_tile, jnp.arange(n_tiles)).reshape(m_pad)
+    radii = jnp.where(vpad, radii, big)
+
+    if sigma <= 0:
+        rv = jnp.sort(jnp.where(vpad, radii, jnp.inf))
+        nv = jnp.sum(vpad.astype(jnp.int32))
+        med = rv[jnp.clip((nv - 1) // 2, 0, m_pad - 1)]
+        sigma2 = jnp.maximum(med / 4.0, 1e-12)
+    else:
+        sigma2 = jnp.asarray(sigma * sigma, jnp.float32)
+
+    def affinity_tile(t):
+        """(R, M_pad) symmetrised affinity rows (lp.py:183-196)."""
+        dist, dead = masked_tile(t)
+        r_rows = jax.lax.dynamic_slice_in_dim(radii, t * r_t, r_t)
+        cnt = ((dist <= r_rows[:, None]).astype(jnp.float32)
+               + (dist <= radii[None, :]).astype(jnp.float32))
+        sim = jnp.exp(-0.5 * dist / sigma2)
+        return jnp.where(dead, 0.0, sim * cnt)
+
+    return m_pad, n_tiles, vpad, radii, sigma2, masked_tile, affinity_tile
+
+
 def blocked_label_propagate(
     node_feat: Array,
     y: Array,
@@ -86,62 +161,11 @@ def blocked_label_propagate(
       compute_dtype: optional bf16 for the gram/mask passes AND the stored
         graph (halves traffic; exp/accumulation stay f32).
     """
-    m, d = node_feat.shape
-    r_t = int(row_tile)
-    m_pad = ((m + r_t - 1) // r_t) * r_t
-    n_tiles = m_pad // r_t
-
-    f32 = node_feat.astype(jnp.float32)
-    vpad = jnp.zeros((m_pad,), bool).at[:m].set(valid)
-    # centered features: bf16 gram rounding lands relative, not absolute
-    # (lp.py:80-89); exact no-op for the f32 path
-    xc = f32 - jnp.mean(jnp.where(valid[:, None], f32, 0.0), axis=0,
-                        keepdims=True)
-    norms = jnp.sum(xc * xc, axis=-1)
-    cmp_dt = compute_dtype or jnp.float32
-    fpad = jnp.zeros((m_pad, d), cmp_dt).at[:m].set(xc.astype(cmp_dt))
-    npad = jnp.zeros((m_pad,), jnp.float32).at[:m].set(norms)
-
-    big = jnp.asarray(_BIG, jnp.float32)
-    iota = jnp.arange(m_pad)
-
-    def masked_tile(t):
-        """(R, M_pad) distances for row tile t with self/invalid pushed out."""
-        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, t * r_t, r_t)  # noqa: E731
-        dist = _tile_sqdist(sl(fpad), fpad, sl(npad), npad)
-        rows = jax.lax.dynamic_slice_in_dim(iota, t * r_t, r_t)
-        self_mask = rows[:, None] == iota[None, :]
-        dead = self_mask | ~vpad[None, :] | ~sl(vpad)[:, None]
-        return jnp.where(dead, big, dist), dead
-
-    # ---- build pass: per-row k-th distance (exact top_k per tile) ----
-    def radius_tile(t):
-        # bisection, not top_k: lax.top_k at k=200 over 33k-wide rows is
-        # O(M*k) VPU work (seconds per build); the value-space bisection
-        # is 32 bandwidth-bound passes over the tile — the same radius
-        # semantics as the dense threshold path (lp.py:251-279)
-        dist, _ = masked_tile(t)
-        return _kth_smallest_per_row(dist, k, iters=32).reshape(-1)
-
-    radii = jax.lax.map(radius_tile, jnp.arange(n_tiles)).reshape(m_pad)
-    radii = jnp.where(vpad, radii, big)
-
-    if sigma <= 0:
-        rv = jnp.sort(jnp.where(vpad, radii, jnp.inf))
-        nv = jnp.sum(vpad.astype(jnp.int32))
-        med = rv[jnp.clip((nv - 1) // 2, 0, m_pad - 1)]
-        sigma2 = jnp.maximum(med / 4.0, 1e-12)
-    else:
-        sigma2 = jnp.asarray(sigma * sigma, jnp.float32)
-
-    def affinity_tile(t):
-        """(R, M_pad) symmetrised affinity rows (lp.py:183-196)."""
-        dist, dead = masked_tile(t)
-        r_rows = jax.lax.dynamic_slice_in_dim(radii, t * r_t, r_t)
-        cnt = ((dist <= r_rows[:, None]).astype(jnp.float32)
-               + (dist <= radii[None, :]).astype(jnp.float32))
-        sim = jnp.exp(-0.5 * dist / sigma2)
-        return jnp.where(dead, 0.0, sim * cnt)
+    m = node_feat.shape[0]
+    (m_pad, n_tiles, _vpad, _radii, _sigma2,
+     _masked_tile, affinity_tile) = _graph_build(
+        node_feat, valid, k=k, sigma=sigma, row_tile=row_tile,
+        compute_dtype=compute_dtype)
 
     store_dt = compute_dtype or jnp.float32
     if store_graph is None:
@@ -222,57 +246,15 @@ def sparse_label_propagate(
     (`R3D_SCENE_LP=sparse`) with that result on record; use
     `blocked_label_propagate` in production.
     """
-    m, d = node_feat.shape
-    r_t = int(row_tile)
-    m_pad = ((m + r_t - 1) // r_t) * r_t
-    n_tiles = m_pad // r_t
+    m = node_feat.shape[0]
+    (m_pad, n_tiles, _vpad, _radii, _sigma2,
+     _masked_tile, affinity_tile) = _graph_build(
+        node_feat, valid, k=k, sigma=sigma, row_tile=row_tile,
+        compute_dtype=compute_dtype)
     w = int(width) if width is not None else min(2 * k + 112, m_pad)
 
-    f32 = node_feat.astype(jnp.float32)
-    vpad = jnp.zeros((m_pad,), bool).at[:m].set(valid)
-    xc = f32 - jnp.mean(jnp.where(valid[:, None], f32, 0.0), axis=0,
-                        keepdims=True)
-    norms = jnp.sum(xc * xc, axis=-1)
-    cmp_dt = compute_dtype or jnp.float32
-    fpad = jnp.zeros((m_pad, d), cmp_dt).at[:m].set(xc.astype(cmp_dt))
-    npad = jnp.zeros((m_pad,), jnp.float32).at[:m].set(norms)
-    big = jnp.asarray(_BIG, jnp.float32)
-    iota = jnp.arange(m_pad)
-
-    def masked_tile(t):
-        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, t * r_t, r_t)  # noqa: E731
-        dist = _tile_sqdist(sl(fpad), fpad, sl(npad), npad)
-        rows = jax.lax.dynamic_slice_in_dim(iota, t * r_t, r_t)
-        dead = ((rows[:, None] == iota[None, :])
-                | ~vpad[None, :] | ~sl(vpad)[:, None])
-        return jnp.where(dead, big, dist), dead
-
-    def radius_tile(t):
-        # bisection, not top_k: lax.top_k at k=200 over 33k-wide rows is
-        # O(M*k) VPU work (seconds per build); the value-space bisection
-        # is 32 bandwidth-bound passes over the tile — the same radius
-        # semantics as the dense threshold path (lp.py:251-279)
-        dist, _ = masked_tile(t)
-        return _kth_smallest_per_row(dist, k, iters=32).reshape(-1)
-
-    radii = jax.lax.map(radius_tile, jnp.arange(n_tiles)).reshape(m_pad)
-    radii = jnp.where(vpad, radii, big)
-
-    if sigma <= 0:
-        rv = jnp.sort(jnp.where(vpad, radii, jnp.inf))
-        nv = jnp.sum(vpad.astype(jnp.int32))
-        med = rv[jnp.clip((nv - 1) // 2, 0, m_pad - 1)]
-        sigma2 = jnp.maximum(med / 4.0, 1e-12)
-    else:
-        sigma2 = jnp.asarray(sigma * sigma, jnp.float32)
-
     def build_tile(t):
-        dist, dead = masked_tile(t)
-        r_rows = jax.lax.dynamic_slice_in_dim(radii, t * r_t, r_t)
-        cnt = ((dist <= r_rows[:, None]).astype(jnp.float32)
-               + (dist <= radii[None, :]).astype(jnp.float32))
-        a = jnp.where(dead, 0.0, jnp.exp(-0.5 * dist / sigma2) * cnt)
-        val, idx = jax.lax.top_k(a, w)            # largest-weight entries
+        val, idx = jax.lax.top_k(affinity_tile(t), w)  # largest weights
         return val, idx.astype(jnp.int32)
 
     vals, idxs = jax.lax.map(build_tile, jnp.arange(n_tiles))

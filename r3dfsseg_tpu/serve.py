@@ -211,8 +211,11 @@ class FewShotPredictor:
         MDNS, prototypes, global graph LP, argmax.  jax.jit re-traces per
         scene size; the compiled program is cached across calls."""
         # Mesh hashes by devices+axis names, so a fresh make_mesh(8) per
-        # call still hits the cache (id() would recompile every call)
-        key = mesh
+        # call still hits the cache (id() would recompile every call).
+        # The LP implementation override is part of the key: changing
+        # R3D_SCENE_LP between calls must not silently reuse the program
+        # compiled for the previous impl.
+        key = (mesh, os.environ.get("R3D_SCENE_LP", "auto"))
         cache = getattr(self, "_scene_cache", None)
         if cache is None:
             cache = self._scene_cache = {}
@@ -269,13 +272,13 @@ class FewShotPredictor:
                       else c.graph_dtype)
                 lowp = jnp.bfloat16 if gd == "bfloat16" else None
                 m_nodes = node_feat.shape[0]
-                impl = os.environ.get("R3D_SCENE_LP", "auto")
+                impl = key[1]   # env read once, part of the cache key
                 # dense M^2 is fastest while it fits (one fused build +
                 # VMEM-ish matvecs; 193 ms at 16k on v5e) — past ~18k
                 # nodes its several M^2 f32 build buffers crowd one chip's
                 # HBM.  Above that the blocked path takes over: build the
                 # graph tile by tile into one half-width matrix when THAT
-                # fits (<= 8.5 GB), else rematerialise per matvec — one
+                # fits (<= 9.2 GB), else rematerialise per matvec — one
                 # chip serves 64k+ points either way.  R3D_SCENE_LP=
                 # sparse selects the experimental gather-matvec variant
                 # (a measured TPU anti-pattern; kept for study).

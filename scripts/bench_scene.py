@@ -2,12 +2,12 @@
 """Whole-scene serving benchmark: FewShotPredictor.predict_scene
 points/sec on the current backend at the flagship config.
 
-The graph is the cost driver: M = 300 + P nodes.  Below ~12k nodes the
+The graph is the cost driver: M = 300 + P nodes.  Up to 18k nodes the
 dense threshold-affinity + Chebyshev path materialises M^2 buffers; above
-it `ops/lp_blocked.py` streams row tiles of the affinity through the
-matvecs (O(row_tile x M) memory), lifting the single-chip cap from
-~16-24k to 64k+ points.  The node-sharded path (mesh) remains the
-scale-out option.
+that `ops/lp_blocked.py` builds the graph tile by tile — stored as ONE
+half-width matrix when it fits 9.2 GB, else rematerialised per matvec —
+lifting the single-chip cap from ~16-24k to 64k+ points.  The
+node-sharded path (mesh) remains the scale-out option.
 
 Usage: python scripts/bench_scene.py [P ...]
        (default 8192 16384 32768 65536; the two large sizes take the

@@ -133,15 +133,13 @@ def test_ordered_mode_backpressure():
     assert len(vals) == 40
 
 
-@pytest.mark.slow
-def test_wire_format_roundtrip_and_step_equivalence(rng):
+def test_wire_format_roundtrip(rng):
     """compress_episode_wire -> widen_episode is lossless for int8 (labels)
-    and ~2^-11 for f16 points; a jitted eval step on the compressed wire
-    matches the uncompressed step."""
+    and ~2^-11 for f16 points.  (Cheap half — stays in the fast gate so a
+    wire regression cannot pass it.)"""
     import jax
 
     from r3dfsseg_tpu.config import tiny_config
-    from r3dfsseg_tpu.learners import MPTILearner
     from r3dfsseg_tpu.models.episode import (
         compress_episode_wire, widen_episode)
     from tests.test_models_smoke import _episode
@@ -165,6 +163,18 @@ def test_wire_format_roundtrip_and_step_equivalence(rng):
                                        rtol=1e-3, atol=1e-3)
     assert compress_episode_wire(ep, "none") is ep
 
+
+@pytest.mark.slow
+def test_wire_format_step_equivalence(rng):
+    """A jitted eval step on the compressed wire matches the uncompressed
+    step (compile-heavy half)."""
+    from r3dfsseg_tpu.config import tiny_config
+    from r3dfsseg_tpu.learners import MPTILearner
+    from r3dfsseg_tpu.models.episode import compress_episode_wire
+    from tests.test_models_smoke import _episode
+
+    cfg = tiny_config()
+    ep = _episode(cfg, rng)
     learner = MPTILearner(cfg)
     learner.init(ep)
     pred_f32, loss_f32, _ = learner.test(ep)
