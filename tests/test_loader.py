@@ -181,3 +181,44 @@ def test_wire_format_step_equivalence(rng):
     pred_i8, loss_i8, _ = learner.test(compress_episode_wire(ep, "int8"))
     np.testing.assert_array_equal(np.asarray(pred_i8), np.asarray(pred_f32))
     np.testing.assert_allclose(float(loss_i8), float(loss_f32), rtol=1e-6)
+
+
+def test_group_equal_shape_and_stack():
+    """Superbatch grouping: up to T consecutive equal-shaped batches per
+    group; a shape change (ragged tail) flushes immediately and ships
+    alone; stacking adds the transfer axis."""
+    from r3dfsseg_tpu.data.loader import group_equal_shape, stack_superbatch
+
+    def ep(n):
+        return Episode(
+            support_x=np.zeros((2, 2, n, 9), np.float32),
+            support_y=np.zeros((2, 2, n), np.int32),
+            query_x=np.zeros((2, n, 9), np.float32),
+            query_y=np.zeros((2, n), np.int32))
+
+    items = [ep(16)] * 5 + [ep(8)] + [ep(16)] * 2
+    groups = list(group_equal_shape(iter(items), 3))
+    assert [len(g) for g in groups] == [3, 2, 1, 2]
+    assert groups[2][0].support_x.shape[2] == 8   # ragged one ships alone
+
+    stacked = stack_superbatch(groups[0])
+    assert stacked.support_x.shape == (3, 2, 2, 16, 9)
+    assert stack_superbatch(groups[2]) is groups[2][0]  # singleton: no copy
+
+
+def test_make_take_i_slices_on_device():
+    import jax
+
+    from r3dfsseg_tpu.data.loader import make_take_i, stack_superbatch
+
+    eps = [Episode(
+        support_x=np.full((1, 1, 4, 9), i, np.float32),
+        support_y=np.full((1, 1, 4), i, np.int32),
+        query_x=np.zeros((1, 4, 9), np.float32),
+        query_y=np.zeros((1, 4), np.int32)) for i in range(4)]
+    sup = jax.device_put(stack_superbatch(eps))
+    take_i = make_take_i()
+    for i in (0, 3):
+        got = take_i(sup, i)
+        assert float(got.support_x[0, 0, 0, 0]) == i
+        assert got.support_x.shape == (1, 1, 4, 9)
