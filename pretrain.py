@@ -106,11 +106,22 @@ def pretrain(cfg: R3DConfig, *, batch_size: int = 16, lr: float = 0.001,
 
     n_steps = cfg.n_iters
     t0 = time.perf_counter()
-    for it in range(n_steps):
-        x, y = make_batch()
+
+    # pipeline the host side like the meta-train loop: batch assembly on a
+    # background thread, H2D transfers two batches ahead of the step
+    from r3dfsseg_tpu.data.loader import device_put_prefetch, prefetch_iter
+
+    def batches():
+        for _ in range(n_steps):
+            yield make_batch()
+
+    pipelined = device_put_prefetch(
+        prefetch_iter(batches(), prefetch=4), n=2,
+        put=lambda t: (jax.device_put(t[0]), jax.device_put(t[1])))
+    for it, (x, y) in enumerate(pipelined):
         jrng, drng = jax.random.split(jrng)
         params, batch_stats, opt_state, loss, acc = step(
-            params, batch_stats, opt_state, jnp.asarray(x), jnp.asarray(y), drng)
+            params, batch_stats, opt_state, x, y, drng)
         if (it + 1) % 10 == 0:
             logger.cprint("[Pretrain] Iter %d | loss %.4f | acc %.4f | %.1f clouds/s"
                           % (it + 1, float(loss), float(acc),
