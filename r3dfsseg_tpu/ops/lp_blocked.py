@@ -93,10 +93,18 @@ def _graph_build(node_feat, valid, *, k, sigma, row_tile, compute_dtype):
     def radius_tile(t):
         # bisection, not top_k: lax.top_k at k=200 over 33k-wide rows is
         # O(M*k) VPU work (seconds per build); the value-space bisection
-        # is 32 bandwidth-bound passes over the tile — the same radius
-        # semantics as the dense threshold path (lp.py:251-279)
+        # is bandwidth-bound passes over the tile — the same radius
+        # semantics as the dense threshold path (lp.py:251-279).  In
+        # relaxed mode the compare copy is half-width and 16 steps
+        # resolve past bf16's own resolution (lp.py:126-134): half the
+        # traffic of half the passes.
         dist, _ = masked_tile(t)
-        return _kth_smallest_per_row(dist, k, iters=32,
+        if compute_dtype is not None:
+            cmp = dist.astype(compute_dtype)
+            n_iters = 16
+        else:
+            cmp, n_iters = dist, 32
+        return _kth_smallest_per_row(cmp, k, iters=n_iters,
                                      hi=hi_global).reshape(-1)
 
     radii = jax.lax.map(radius_tile, jnp.arange(n_tiles)).reshape(m_pad)
@@ -111,11 +119,16 @@ def _graph_build(node_feat, valid, *, k, sigma, row_tile, compute_dtype):
         sigma2 = jnp.asarray(sigma * sigma, jnp.float32)
 
     def affinity_tile(t):
-        """(R, M_pad) symmetrised affinity rows (lp.py:183-196)."""
+        """(R, M_pad) symmetrised affinity rows (lp.py:183-196).  The
+        neighbour-membership compares run on the SAME (optionally
+        half-width) copy the bisection resolved the radii on, so tie
+        handling matches the dense relaxed path; similarity values stay
+        f32 until the caller's storage cast."""
         dist, dead = masked_tile(t)
+        cmp = dist.astype(compute_dtype) if compute_dtype is not None else dist
         r_rows = jax.lax.dynamic_slice_in_dim(radii, t * r_t, r_t)
-        cnt = ((dist <= r_rows[:, None]).astype(jnp.float32)
-               + (dist <= radii[None, :]).astype(jnp.float32))
+        cnt = ((cmp <= r_rows[:, None].astype(cmp.dtype)).astype(jnp.float32)
+               + (cmp <= radii[None, :].astype(cmp.dtype)).astype(jnp.float32))
         sim = jnp.exp(-0.5 * dist / sigma2)
         return jnp.where(dead, 0.0, sim * cnt)
 
