@@ -166,6 +166,10 @@ def evaluate(cfg: R3DConfig):
         "\n------------------- noise ratio= {}, noise type={} "
         "--------------------\n".format(cfg.noise_ratio, cfg.noise_type))
 
+    # episode_batch == 0 (CLI default) = auto: one episode per device
+    from r3dfsseg_tpu.parallel import resolve_episode_batch
+    cfg = resolve_episode_batch(cfg, log=logger.cprint)
+
     dataset = StaticTestDataset(
         cfg.clean_data_path or cfg.data_path, cfg.dataset, cvfold=cfg.cvfold,
         num_episode_per_comb=cfg.n_episode_test, n_way=cfg.n_way,
@@ -199,10 +203,15 @@ def evaluate(cfg: R3DConfig):
 
     import jax
     n_dev = cfg.mesh_shape[0] if cfg.mesh_shape else len(jax.devices())
-    if n_dev > 1 and cfg.episode_batch % n_dev == 0:
-        from r3dfsseg_tpu.parallel import make_mesh
-        learner.attach_mesh(make_mesh(n_dev))
-        logger.cprint("episode-DP eval over %d devices" % n_dev)
+    if n_dev > 1:
+        if cfg.episode_batch % n_dev == 0:
+            from r3dfsseg_tpu.parallel import make_mesh
+            learner.attach_mesh(make_mesh(n_dev))
+            logger.cprint("episode-DP eval over %d devices" % n_dev)
+        else:
+            logger.cprint(
+                "WARNING: episode-DP disabled — episode_batch %d does not "
+                "divide the %d visible devices" % (cfg.episode_batch, n_dev))
 
     record_path = None
     if cfg.save_test_record:

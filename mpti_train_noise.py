@@ -27,6 +27,11 @@ def train(cfg: R3DConfig):
     logger = init_logger(cfg.log_dir, cfg)
     writer = ScalarWriter(cfg.log_dir)
 
+    # episode_batch == 0 (the CLI default) = auto: one episode per visible
+    # device, so episode-DP engages with default flags on multi-chip hosts
+    from r3dfsseg_tpu.parallel import resolve_episode_batch
+    cfg = resolve_episode_batch(cfg, log=logger.cprint)
+
     pc_augm_config = {"scale": cfg.pc_augm_scale, "rot": cfg.pc_augm_rot,
                       "mirror_prob": cfg.pc_augm_mirror_prob,
                       "jitter": cfg.pc_augm_jitter}
@@ -52,10 +57,22 @@ def train(cfg: R3DConfig):
     learner.init(train_sampler.sample())
 
     if cfg.model_checkpoint_path:      # resume (mpti_train_noise.py:172-173)
-        blob, state = load_checkpoint(
-            os.path.join(cfg.model_checkpoint_path, "checkpoint.msgpack"),
-            learner.state)
-        learner.state = state
+        msgpack = os.path.join(cfg.model_checkpoint_path, "checkpoint.msgpack")
+        tar = os.path.join(cfg.model_checkpoint_path, "checkpoint.tar")
+        if os.path.exists(msgpack):
+            blob, state = load_checkpoint(msgpack, learner.state)
+            learner.state = state
+        elif os.path.exists(tar):
+            # reference torch checkpoint: params + BN stats + Adam moments
+            # (checkpoint_util.py:26-44 train-mode restore)
+            from r3dfsseg_tpu.utils.torch_convert import (
+                resume_from_reference_checkpoint)
+            blob = resume_from_reference_checkpoint(tar, learner)
+            logger.cprint("Converted reference checkpoint %s "
+                          "(optimizer state restored)" % tar)
+        else:
+            raise ValueError("no checkpoint.msgpack or checkpoint.tar in %s"
+                             % cfg.model_checkpoint_path)
         logger.cprint("Resume from checkpoint at Iteration %d (IoU %f)..."
                       % (blob["iteration"], blob["IoU"]))
     elif cfg.pretrain_checkpoint_path:
@@ -76,12 +93,18 @@ def train(cfg: R3DConfig):
             logger.cprint(
                 "episode-DP: %d-episode batches sharded over %d devices"
                 % (cfg.episode_batch, n_dev))
-        elif cfg.mesh_shape:
+        else:
+            # warn ALWAYS (not only under --mesh): the user is silently
+            # training single-chip on a multi-chip host otherwise
             logger.cprint(
-                "WARNING: --mesh %d ignored (episode_batch %d not divisible)"
-                % (n_dev, cfg.episode_batch))
+                "WARNING: episode-DP disabled — episode_batch %d does not "
+                "divide the %d visible devices (pass --episode_batch 0 for "
+                "auto, or a multiple of %d)"
+                % (cfg.episode_batch, n_dev, n_dev))
 
-    n_steps = cfg.n_iters // max(cfg.episode_batch, 1)
+    # at least one optimizer step even when n_iters < episode_batch (tiny
+    # smoke runs on wide meshes)
+    n_steps = max(cfg.n_iters // max(cfg.episode_batch, 1), 1)
     # one independent sampler per worker thread (numpy rng is not
     # thread-safe); seeds derived from the base seed
     n_workers = max(1, min(cfg.n_workers, 8))

@@ -96,8 +96,10 @@ def build_parser(eval_mode: bool = False) -> argparse.ArgumentParser:
     p.add_argument("--proto_path", type=str, default="")
     p.add_argument("--num_spectra_group", type=int, default=4)
     # ---- TPU-only ----
-    p.add_argument("--episode_batch", type=int, default=1,
-                   help="episodes fused into one jit step")
+    p.add_argument("--episode_batch", type=int, default=0,
+                   help="episodes fused into one jit step (0 = auto: one "
+                        "episode per visible device, so episode-DP engages "
+                        "automatically on multi-chip hosts)")
     p.add_argument("--mesh", type=int, default=0,
                    help="episode-DP over N devices (0 = auto: use all "
                         "devices when episode_batch divides evenly)")

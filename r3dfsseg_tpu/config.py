@@ -108,6 +108,10 @@ class R3DConfig:
 
     # ------------------------------------------------------ TPU-only knobs
     episode_batch: int = 1                 # episodes fused into one jit step
+                                           # (0 = auto, the CLI default:
+                                           # resolve to one episode per
+                                           # visible device — see
+                                           # parallel.resolve_episode_batch)
     # Chebyshev at 50 iterations beats CG-30 on both axes (round 2,
     # DESIGN.md): no per-iteration scalar reductions, and rel err vs the
     # dense solve ~1e-3 vs CG-30's ~2e-2 at equal wall-clock.

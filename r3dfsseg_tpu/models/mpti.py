@@ -198,13 +198,15 @@ class MPTINet(nn.Module):
     def extract_features(self, ep: Episode, train: bool):
         """Encode support+query clouds.  BN statistics are computed over the
         support batch and the query batch separately, exactly like the two
-        `getFeatures` calls in the reference forward (mpti.py:433-437)."""
+        `getFeatures` calls in the reference forward (mpti.py:433-437) — and
+        PER EPISODE under episode batching (groups=e), so E>1 is
+        semantics-identical per episode to the reference's E=1 loop."""
         c = self.cfg
         e = ep.support_x.shape[0]
         sx = ep.support_x.reshape(e * c.n_way * c.k_shot, c.pc_npts, -1)
         qx = ep.query_x.reshape(e * c.n_queries * c.n_way, c.pc_npts, -1)
-        sf = self.features(sx, train=train)
-        qf = self.features(qx, train=train)
+        sf = self.features(sx, train=train, groups=e)
+        qf = self.features(qx, train=train, groups=e)
         d = sf.shape[-1]
         sf = sf.reshape(e, c.n_way, c.k_shot, c.pc_npts, d)
         qf = qf.reshape(e, c.n_queries * c.n_way, c.pc_npts, d)

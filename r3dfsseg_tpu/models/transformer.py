@@ -193,8 +193,8 @@ class ProtoNetTransformer(nn.Module):
         e = ep.support_x.shape[0]
         sx = ep.support_x.reshape(e * c.n_way * c.k_shot, c.pc_npts, -1)
         qx = ep.query_x.reshape(e * c.n_queries * c.n_way, c.pc_npts, -1)
-        sf = self.features(sx, train=train)
-        qf = self.features(qx, train=train)
+        sf = self.features(sx, train=train, groups=e)   # per-episode BN stats
+        qf = self.features(qx, train=train, groups=e)
         d = sf.shape[-1]
         sf = sf.reshape(e, c.n_way, c.k_shot, c.pc_npts, d)
         qf = qf.reshape(e, c.n_queries * c.n_way, c.pc_npts, d)

@@ -3,6 +3,7 @@ from r3dfsseg_tpu.nn.dgcnn import (  # noqa: F401
     DGCNN,
     EdgeConv,
     BaseLearner,
+    GroupedBatchNorm,
     SelfAttention,
     FeatureExtractor,
     DGCNNSegAttention,

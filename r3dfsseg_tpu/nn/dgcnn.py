@@ -30,6 +30,55 @@ from r3dfsseg_tpu.ops.knn import knn_indices, gather_neighbors
 Array = jax.Array
 
 
+class GroupedBatchNorm(nn.Module):
+    """Train-mode BatchNorm whose batch statistics are computed PER GROUP
+    of leading-axis rows (one group = one episode under episode batching).
+
+    The reference trains with batch_size=1 episodes, so its BatchNorm
+    statistics span exactly one episode's clouds
+    (`/root/reference/models/dgcnn.py:53-55`, `mpti.py:433-437`).  Batching
+    E episodes into one jit step must NOT widen that statistics batch to
+    E episodes — each episode's activations are normalised with its own
+    mean/var here, making E>1 semantics-identical (per episode) to the
+    reference's E=1 loop.  Running statistics are updated with the mean of
+    the per-group statistics, which reduces exactly to flax's update at
+    groups=1.
+
+    Variable tree ({params: {scale, bias}, batch_stats: {mean, var}})
+    matches `nn.BatchNorm`, so the same checkpoint serves both paths.
+    """
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Any = None          # output dtype (None -> f32 for f32 inputs)
+    use_fast_variance: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array, groups: int) -> Array:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones_init(), (c,))
+        bias = self.param("bias", nn.initializers.zeros_init(), (c,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros(c, jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones(c, jnp.float32))
+        assert x.shape[0] % groups == 0, (x.shape, groups)
+        xg = x.reshape(groups, -1, c)
+        xf = xg.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=1)                      # (G, C)
+        if self.use_fast_variance:
+            var = jnp.mean(xf * xf, axis=1) - mean * mean
+        else:
+            var = jnp.mean(jnp.square(xf - mean[:, None, :]), axis=1)
+        if not self.is_initializing():
+            m = self.momentum
+            ra_mean.value = m * ra_mean.value + (1.0 - m) * jnp.mean(mean, 0)
+            ra_var.value = m * ra_var.value + (1.0 - m) * jnp.mean(var, 0)
+        dt = self.dtype or jnp.promote_types(x.dtype, jnp.float32)
+        mul = jax.lax.rsqrt(var + self.epsilon)[:, None, :] * scale
+        y = (xf - mean[:, None, :]) * mul + bias
+        return y.reshape(x.shape).astype(dt)
+
+
 class ConvBN(nn.Module):
     """1x1 conv (dense) + BatchNorm [+ LeakyReLU], torch-compatible.
 
@@ -50,7 +99,7 @@ class ConvBN(nn.Module):
     bn_mode: str = "exact"
 
     @nn.compact
-    def __call__(self, x: Array, train: bool = False) -> Array:
+    def __call__(self, x: Array, train: bool = False, groups: int = 1) -> Array:
         x = nn.Dense(self.features, use_bias=self.use_bias, dtype=self.dtype,
                      name="conv")(x)
         # Two-pass variance in f32 mode: the E[x^2]-E[x]^2 shortcut cancels
@@ -65,12 +114,19 @@ class ConvBN(nn.Module):
         # bf16 fast-var BN loses ~0.1 mean-IoU in meta-training).
         bn_dtype = (jnp.float32 if self.bn_mode in ("exact", "fastvar")
                     else self.dtype)
-        x = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.9, epsilon=1e-5, name="bn", dtype=bn_dtype,
-            use_fast_variance=(self.dtype is not None
-                               and self.bn_mode in ("relaxed", "fastvar")),
-        )(x)
+        fast = (self.dtype is not None
+                and self.bn_mode in ("relaxed", "fastvar"))
+        if train and groups > 1:
+            # episode batching: per-episode statistics (reference BN batch
+            # semantics at any E — see GroupedBatchNorm)
+            x = GroupedBatchNorm(momentum=0.9, epsilon=1e-5, dtype=bn_dtype,
+                                 use_fast_variance=fast, name="bn")(x, groups)
+        else:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9, epsilon=1e-5, name="bn", dtype=bn_dtype,
+                use_fast_variance=fast,
+            )(x)
         if self.relu:
             x = nn.leaky_relu(x, self.negative_slope)
         return x
@@ -195,18 +251,20 @@ class EdgeConv(nn.Module):
         return self.fuse_edge == "on"
 
     @nn.compact
-    def __call__(self, x: Array, train: bool = False) -> Array:
+    def __call__(self, x: Array, train: bool = False, groups: int = 1) -> Array:
         idx = self._knn(jax.lax.stop_gradient(x))             # (B, N, K)
-        if self._use_fused():
+        if self._use_fused() and groups == 1:
+            # the fused tail computes whole-batch BN statistics; per-episode
+            # grouping (episode batching) takes the unfused path
             return self._fused(x, idx, train)
         modes = self.bn_modes or (self.bn_mode,) * len(self.widths)
         e = _EdgeFirstLayer(self.widths[0], dtype=self.dtype,
                             exact_grad=self.exact_grad_gather,
                             bn_mode=modes[0],
-                            name="layer0")(x, idx, train=train)
+                            name="layer0")(x, idx, train=train, groups=groups)
         for i, w in enumerate(self.widths[1:], start=1):
             e = ConvBN(w, dtype=self.dtype, bn_mode=modes[i],
-                       name=f"layer{i}")(e, train=train)
+                       name=f"layer{i}")(e, train=train, groups=groups)
         return jnp.max(e, axis=2)                             # max over K
 
     def _fused(self, x: Array, idx: Array, train: bool) -> Array:
@@ -255,7 +313,8 @@ class _EdgeFirstLayer(nn.Module):
     bn_mode: str = "exact"
 
     @nn.compact
-    def __call__(self, x: Array, idx: Array, train: bool = False) -> Array:
+    def __call__(self, x: Array, idx: Array, train: bool = False,
+                 groups: int = 1) -> Array:
         conv = nn.Dense(self.features, use_bias=False, dtype=self.dtype,
                         name="conv")
         zeros = jnp.zeros_like(x)
@@ -263,15 +322,17 @@ class _EdgeFirstLayer(nn.Module):
         b = conv(jnp.concatenate([-x, x], axis=-1))           # x @ (W_c - W_n)
         from r3dfsseg_tpu.ops.fast_gather import gather_neighbors_fast
         e = gather_neighbors_fast(a, idx, self.exact_grad) + b[:, :, None, :]
-        e = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5,
-                         dtype=(jnp.float32
-                                if self.bn_mode in ("exact", "fastvar")
-                                else self.dtype),
-                         use_fast_variance=(self.dtype is not None
-                                            and self.bn_mode in
-                                            ("relaxed", "fastvar")),
-                         name="bn")(e)
+        bn_dtype = (jnp.float32 if self.bn_mode in ("exact", "fastvar")
+                    else self.dtype)
+        fast = (self.dtype is not None
+                and self.bn_mode in ("relaxed", "fastvar"))
+        if train and groups > 1:
+            e = GroupedBatchNorm(momentum=0.9, epsilon=1e-5, dtype=bn_dtype,
+                                 use_fast_variance=fast, name="bn")(e, groups)
+        else:
+            e = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=bn_dtype,
+                             use_fast_variance=fast, name="bn")(e)
         return nn.leaky_relu(e, self.negative_slope)
 
 
@@ -292,7 +353,7 @@ class DGCNN(nn.Module):
     bn_mode: str = "exact"
 
     @nn.compact
-    def __call__(self, x: Array, train: bool = False):
+    def __call__(self, x: Array, train: bool = False, groups: int = 1):
         hybrid = self.bn_mode == "hybrid"
         outs = []
         h = x
@@ -315,7 +376,7 @@ class DGCNN(nn.Module):
                          fuse_edge=self.fuse_edge,
                          bn_mode="relaxed" if hybrid else self.bn_mode,
                          bn_modes=modes,
-                         name=f"edgeconv{i}")(h, train=train)
+                         name=f"edgeconv{i}")(h, train=train, groups=groups)
             outs.append(h)
         h = jnp.concatenate(outs, axis=-1)
         for i, w in enumerate(self.mlp_widths):
@@ -327,7 +388,7 @@ class DGCNN(nn.Module):
             else:
                 mode = self.bn_mode
             h = ConvBN(w, dtype=self.dtype, bn_mode=mode,
-                       name=f"mlp{i}")(h, train=train)
+                       name=f"mlp{i}")(h, train=train, groups=groups)
         if self.return_edgeconvs:
             return outs, h
         return outs[0], h
@@ -341,7 +402,7 @@ class BaseLearner(nn.Module):
     bn_mode: str = "exact"
 
     @nn.compact
-    def __call__(self, x: Array, train: bool = False) -> Array:
+    def __call__(self, x: Array, train: bool = False, groups: int = 1) -> Array:
         n = len(self.widths)
         for i, w in enumerate(self.widths):
             if self.bn_mode == "hybrid":
@@ -351,7 +412,7 @@ class BaseLearner(nn.Module):
                 mode = self.bn_mode
             x = ConvBN(w, use_bias=True, relu=False, dtype=self.dtype,
                        bn_mode=mode,
-                       name=f"conv{i}")(x, train=train)
+                       name=f"conv{i}")(x, train=train, groups=groups)
             if i != n - 1:
                 x = nn.relu(x)
         return x
@@ -436,17 +497,21 @@ class FeatureExtractor(nn.Module):
     bn_mode: str = "exact"
 
     @nn.compact
-    def __call__(self, x: Array, train: bool = False) -> Array:
+    def __call__(self, x: Array, train: bool = False, groups: int = 1) -> Array:
+        # groups > 1 = episode batching: BN statistics are computed per
+        # episode group so E>1 keeps the reference's per-episode BN batch
+        # semantics (GroupedBatchNorm; ref dgcnn.py:53-55, mpti.py:433-437)
         feat1, feat2 = DGCNN(
             self.edgeconv_widths, self.dgcnn_mlp_widths, k=self.dgcnn_k,
             knn_impl=self.knn_impl, dtype=self.dtype,
             exact_grad_gather=self.exact_grad_gather,
             fuse_edge=self.fuse_edge, bn_mode=self.bn_mode,
             name="encoder",
-        )(x, train=train)
+        )(x, train=train, groups=groups)
         feat3 = BaseLearner(self.base_widths, dtype=self.dtype,
                             bn_mode=self.bn_mode,
-                            name="base_learner")(feat2, train=train)
+                            name="base_learner")(feat2, train=train,
+                                                 groups=groups)
         if self.use_attention:
             mid = SelfAttention(self.output_dim, self.attn_dropout,
                                 dtype=self.dtype, attn_impl=self.attn_impl,

@@ -147,6 +147,7 @@ def blocked_label_propagate(
     row_tile: int = 512,
     compute_dtype=None,
     store_graph: bool | None = None,
+    split_store: bool | None = None,
 ) -> Array:
     """Z = (I - alpha*S)^-1 Y with the affinity built in row tiles.
 
@@ -181,11 +182,34 @@ def blocked_label_propagate(
         compute_dtype=compute_dtype)
 
     store_dt = compute_dtype or jnp.float32
+    split_z = bool(split_store)
+    if split_z:                       # forced (tests / explicit callers)
+        assert compute_dtype is None, \
+            "split_store implies an f32-built graph stored bf16"
+        store_graph, store_dt = True, jnp.bfloat16
     if store_graph is None:
         # 9.2 GB leaves ~6 GB for weights/features/tile transients on a
         # 16 GB v5e — admits the bf16 64k-point graph (8.72 GB)
-        store_graph = (m_pad * m_pad * jnp.dtype(store_dt).itemsize
-                       <= 9.2e9)
+        budget = 9.2e9
+        store_graph = m_pad * m_pad * jnp.dtype(store_dt).itemsize <= budget
+        if not store_graph and compute_dtype is None and split_store is None \
+                and m_pad * m_pad * 2 <= budget:
+            # f32-accuracy mode past the f32 storage budget (the "f32
+            # cliff", BASELINE.md note 5): build the graph fully in f32
+            # (f32 gram, 32-step bisection, f32 tie compares, f32 exp) and
+            # store it ONCE in bf16 — the only relaxation is that single
+            # ~0.4% storage rounding of the similarity values, which the
+            # half-width graph-chain A/B validated in-band.  The Chebyshev
+            # direction vector is kept EXACT through the recurrence by a
+            # split-bf16 hi/lo pair (the pallas_cheby trick: rounding z to
+            # bf16 each step compounds over 50 iterations and was measured
+            # harmful, while the split fully recovers it).  Both halves
+            # ride ONE pass over the stored matrix (concatenated into one
+            # 2C-column RHS, C = n_way+1 is tiny), so this runs at the
+            # bf16 stored-graph speed, not the 2.2 s rematerialising f32
+            # fallback.
+            store_graph, split_z = True, True
+            store_dt = jnp.bfloat16
 
     eps = jnp.asarray(jnp.finfo(jnp.float64).eps, jnp.float32)
     ypad = jnp.zeros((m_pad, y.shape[1]), jnp.float32).at[:m].set(
@@ -199,11 +223,23 @@ def blocked_label_propagate(
         deg = jnp.sum(a_full, axis=1, dtype=jnp.float32)
         rinv = jnp.sqrt(1.0 / (deg + eps))           # lp.py:335-338
 
-        def matvec(z):
-            zt = z * rinv[:, None]
-            sz = jnp.einsum("nm,mc->nc", a_full, zt,
-                            preferred_element_type=jnp.float32)
-            return z - alpha * sz * rinv[:, None]
+        if split_z:
+            def matvec(z):
+                zt = z * rinv[:, None]
+                hi = zt.astype(jnp.bfloat16)
+                lo = (zt - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                both = jnp.concatenate([hi, lo], axis=1)   # (M, 2C)
+                sz2 = jnp.einsum("nm,mc->nc", a_full, both,
+                                 preferred_element_type=jnp.float32)
+                ncol = z.shape[1]
+                sz = sz2[:, :ncol] + sz2[:, ncol:]
+                return z - alpha * sz * rinv[:, None]
+        else:
+            def matvec(z):
+                zt = z * rinv[:, None]
+                sz = jnp.einsum("nm,mc->nc", a_full, zt,
+                                preferred_element_type=jnp.float32)
+                return z - alpha * sz * rinv[:, None]
     else:
         # ---- degree pass, then rematerialising matvecs ----
         deg = jax.lax.map(lambda t: jnp.sum(affinity_tile(t), axis=1),

@@ -3,6 +3,7 @@ plus sequence-parallel (node-sharded) label propagation for graphs larger
 than one chip."""
 from r3dfsseg_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
+    resolve_episode_batch,
     shard_episode,
     replicate,
 )

@@ -13,9 +13,15 @@ import pytest
 
 torch = pytest.importorskip("torch")
 
+# scope the reference-path insertion to the import: a lingering
+# /root/reference entry makes a later `import eval_noise` resolve to the
+# REFERENCE's same-named file (order-dependent failure, VERDICT r3 weak #6)
 sys.path.insert(0, "/root/reference")
-from models.dgcnn import DGCNN as TorchDGCNN  # noqa: E402
-from models.attention import SelfAttention as TorchSelfAttention  # noqa: E402
+try:
+    from models.dgcnn import DGCNN as TorchDGCNN  # noqa: E402
+    from models.attention import SelfAttention as TorchSelfAttention  # noqa: E402
+finally:
+    sys.path.remove("/root/reference")
 
 from r3dfsseg_tpu.nn import FeatureExtractor  # noqa: E402
 from r3dfsseg_tpu.utils.torch_convert import convert_feature_extractor  # noqa: E402

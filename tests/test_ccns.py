@@ -13,11 +13,20 @@ import pytest
 torch = pytest.importorskip("torch")
 
 sys.path.insert(0, "/root/repo/scripts")
-from make_reference_fixture import install_stubs  # noqa: E402
+try:
+    from make_reference_fixture import install_stubs  # noqa: E402
+finally:
+    sys.path.remove("/root/repo/scripts")
 
 install_stubs()
+# scoped insertion (see test_backbone.py): never leave /root/reference on
+# sys.path past the import, or `import eval_noise` in a later test module
+# can resolve to the reference's same-named entry script
 sys.path.insert(0, "/root/reference")
-from models.protonet import ProtoNet as RefProtoNet  # noqa: E402
+try:
+    from models.protonet import ProtoNet as RefProtoNet  # noqa: E402
+finally:
+    sys.path.remove("/root/reference")
 
 from r3dfsseg_tpu.ops.ccns import (  # noqa: E402
     aggregate_class_clusters, detect_clean_clusters)

@@ -23,7 +23,17 @@ def test_defaults_match_reference_surface():
     assert (cfg.d_model, cfg.n_head, cfg.n_layers, cfg.d_feed) == (128, 8, 3, 128)
     # TPU knobs
     assert cfg.lp_solver == "cheby" and cfg.lp_cg_iters == 50
-    assert cfg.mesh_shape is None and cfg.episode_batch == 1
+    # episode_batch CLI default is the 0 = auto sentinel (one episode per
+    # visible device; resolved by parallel.resolve_episode_batch at CLI
+    # startup, so episode-DP engages automatically on multi-chip hosts)
+    assert cfg.mesh_shape is None and cfg.episode_batch == 0
+    from r3dfsseg_tpu.parallel import resolve_episode_batch
+    import jax
+    resolved = resolve_episode_batch(cfg)
+    assert resolved.episode_batch == (
+        len(jax.devices()) if len(jax.devices()) > 1 else 1)
+    # explicit values pass through untouched
+    assert resolve_episode_batch(_cfg(["--episode_batch", "3"])).episode_batch == 3
 
 
 def test_mesh_flag_maps_to_mesh_shape():

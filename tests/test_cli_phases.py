@@ -22,6 +22,11 @@ TINY_NET = [
     "--n_way", "2", "--k_shot", "2", "--n_queries", "1",
     "--n_episode_test", "1",
     "--d_model", "16", "--n_head", "2", "--n_layers", "1", "--d_feed", "16",
+    # pin E=1: the CLI default (0 = auto) resolves to 8 on the test
+    # platform's virtual 8-device mesh, and these 2-iteration runs would
+    # round down to zero steps.  The auto path is covered by
+    # test_parallel.py::test_graft_entry_dryrun.
+    "--episode_batch", "1",
 ]
 
 

@@ -213,3 +213,55 @@ def test_predict_scene_mesh_sizes_2_and_8(rng):
         lab_n = p.predict_scene(*args, mesh=make_mesh(n_dev))
         np.testing.assert_array_equal(lab1, lab_n,
                                       err_msg=f"mesh size {n_dev}")
+
+
+@pytest.mark.slow
+def test_episode_batch_bn_matches_e1_loop(rng):
+    """Per-episode BN under episode batching (VERDICT r3 next-round #1):
+    the SAME 4 episodes run (a) one-at-a-time and (b) as one E=4 batch
+    produce matching per-episode logits and losses, and the batched
+    running-stat update equals the average of the per-episode updates
+    (each = 0.9*init + 0.1*stats_i, so their mean IS the grouped update).
+    Reference BN batch semantics: dgcnn.py:53-55, mpti.py:433-437."""
+    from r3dfsseg_tpu.models.mpti import MPTINet
+
+    cfg = tiny_config(lp_cg_iters=10, pc_npts=32, dgcnn_k=4,
+                      attn_dropout=0.0)
+    model = MPTINet(cfg)
+    eps = [_episode(cfg, rng) for _ in range(4)]
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)},
+                           eps[0], train=False)
+    rngs = {"dropout": jax.random.PRNGKey(2)}
+
+    apply = jax.jit(lambda ep: model.apply(
+        variables, ep, train=True, mutable=["batch_stats"], rngs=rngs))
+
+    outs1, stats1 = [], []
+    for ep in eps:
+        out, mut = apply(jax.tree.map(jnp.asarray, ep))
+        outs1.append(out)
+        stats1.append(mut["batch_stats"])
+
+    batch = stack_episodes(eps)
+    out4, mut4 = apply(jax.tree.map(jnp.asarray, batch))
+
+    for i, o in enumerate(outs1):
+        np.testing.assert_allclose(np.asarray(out4.query_logits[i]),
+                                   np.asarray(o.query_logits[0]),
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=f"episode {i}")
+    np.testing.assert_allclose(
+        float(out4.lp_loss),
+        np.mean([float(o.lp_loss) for o in outs1]), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        float(out4.contrast_loss),
+        np.mean([float(o.contrast_loss) for o in outs1]),
+        rtol=1e-5, atol=1e-6)
+
+    expected = jax.tree.map(lambda *xs: sum(np.asarray(x) for x in xs) / 4.0,
+                            *stats1)
+    jax.tree.map(
+        lambda e, got: np.testing.assert_allclose(
+            e, np.asarray(got), rtol=1e-5, atol=1e-6),
+        expected, mut4["batch_stats"])

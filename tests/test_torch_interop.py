@@ -135,11 +135,16 @@ def test_export_strict_loads_into_reference_model(tmp_path, rng):
     import dataclasses
     import sys
 
+    # scoped insertions (see test_backbone.py) — never leak /root/reference
     sys.path.insert(0, "/root/repo/scripts")
     sys.path.insert(0, "/root/reference")
-    from make_reference_fixture import install_stubs
-    install_stubs()
-    from models.mpti import MPTI_SelfAtten  # the reference's own module
+    try:
+        from make_reference_fixture import install_stubs
+        install_stubs()
+        from models.mpti import MPTI_SelfAtten  # the reference's own module
+    finally:
+        sys.path.remove("/root/reference")
+        sys.path.remove("/root/repo/scripts")
 
     from r3dfsseg_tpu.config import R3DConfig
     from r3dfsseg_tpu.utils.torch_convert import save_reference_checkpoint
