@@ -7,4 +7,7 @@ from r3dfsseg_tpu.parallel.mesh import (  # noqa: F401
     shard_episode,
     replicate,
 )
-from r3dfsseg_tpu.parallel.sp import sp_label_propagate  # noqa: F401
+from r3dfsseg_tpu.parallel.sp import (  # noqa: F401
+    sp_blocked_label_propagate,
+    sp_label_propagate,
+)

@@ -176,3 +176,178 @@ def _sp_lp_block(feat, y, valid, is_pad, *, axis, n_dev, k, sigma, alpha,
 
     return _chebyshev(matvec, y, 1.0 - alpha, 1.0 + alpha,
                       iters=max(iters, 1))
+
+
+def sp_blocked_label_propagate(
+    node_feat: Array,
+    y: Array,
+    *,
+    mesh: Mesh,
+    k: int,
+    sigma: float = 1.0,
+    alpha: float = 0.99,
+    valid: Array | None = None,
+    iters: int = 50,
+    row_tile: int = 512,
+    compute_dtype=None,
+    store_graph: bool | None = None,
+) -> Array:
+    """BLOCKED x SHARDED scene label propagation (VERDICT r3 #3): each
+    device owns a row block of the graph, and builds it TILE BY TILE with
+    `ops/lp_blocked.py`'s streaming recipe instead of materialising the
+    whole (M/n_dev, M) slab at once like `sp_label_propagate`.
+
+    Composition contract: the per-row k-th-distance radii come from the
+    value-space bisection over ONE GLOBAL interval (4*max|x|^2 over valid
+    nodes, computed from the replicated features — no collective needed),
+    so they are independent of BOTH the tiling and the sharding
+    (`ops/lp.py:259-262`); the only collectives are the radius/degree
+    all_gathers and one (M, C) all_gather per Chebyshev matvec, all riding
+    ICI.  Capacity: per-device storage is (M/n_dev, M) at the store dtype
+    — a mesh serves scenes bounded by aggregate HBM x the blocked
+    headroom, and past that each matvec rematerialises its tiles.
+
+    store_graph auto mirrors `blocked_label_propagate` (<= 9.2 GB per
+    device; an f32-built graph past the f32 budget stores bf16 with the
+    split-bf16 hi/lo direction-vector matvec).
+    """
+    if mesh.devices.ndim != 1:
+        raise ValueError("sp_blocked_label_propagate needs a 1-D mesh")
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    m, d = node_feat.shape
+    if valid is None:
+        valid = jnp.ones((m,), bool)
+    r_t = int(row_tile)
+    blk = ((m + n_dev - 1) // n_dev + r_t - 1) // r_t * r_t
+    mp = blk * n_dev
+
+    # ---- shared preamble, identical math to lp_blocked._graph_build ----
+    f32 = node_feat.astype(jnp.float32)
+    xc = f32 - jnp.mean(jnp.where(valid[:, None], f32, 0.0), axis=0,
+                        keepdims=True)
+    norms = jnp.sum(xc * xc, axis=-1)
+    cmp_dt = compute_dtype or jnp.float32
+    fpad = jnp.zeros((mp, d), cmp_dt).at[:m].set(xc.astype(cmp_dt))
+    npad = jnp.zeros((mp,), jnp.float32).at[:m].set(norms)
+    vpad = jnp.zeros((mp,), bool).at[:m].set(valid)
+    ypad = jnp.zeros((mp, y.shape[1]), jnp.float32).at[:m].set(
+        y.astype(jnp.float32))
+
+    store_dt = compute_dtype or jnp.float32
+    split_z = False
+    if store_graph is None:
+        budget = 9.2e9
+        store_graph = blk * mp * jnp.dtype(store_dt).itemsize <= budget
+        if not store_graph and compute_dtype is None \
+                and blk * mp * 2 <= budget:
+            store_graph, split_z, store_dt = True, True, jnp.bfloat16
+
+    fn = shard_map(
+        partial(_sp_blocked_block, axis=axis, n_dev=n_dev, k=k, sigma=sigma,
+                alpha=alpha, iters=iters, r_t=r_t,
+                cmp_bf16=(compute_dtype is not None),
+                store_graph=bool(store_graph), split_z=split_z,
+                store_dt=store_dt),
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return fn(fpad, npad, vpad, ypad)[:m]
+
+
+def _sp_blocked_block(fpad, npad, vpad, ypad, *, axis, n_dev, k, sigma,
+                      alpha, iters, r_t, cmp_bf16, store_graph, split_z,
+                      store_dt):
+    """Per-device body: my `blk` graph rows, built in `r_t`-row tiles."""
+    from r3dfsseg_tpu.ops.lp_blocked import _tile_sqdist
+
+    mp = fpad.shape[0]
+    blk = mp // n_dev
+    n_tiles = blk // r_t
+    dev = jax.lax.axis_index(axis)
+    i0 = dev * blk
+    iota = jnp.arange(mp)
+    big = jnp.asarray(_BIG, jnp.float32)
+    sl = lambda a, s, n: jax.lax.dynamic_slice_in_dim(a, s, n)  # noqa: E731
+
+    def masked_tile(t):
+        start = i0 + t * r_t
+        dist = _tile_sqdist(sl(fpad, start, r_t), fpad,
+                            sl(npad, start, r_t), npad)
+        rows = start + jnp.arange(r_t)
+        dead = ((rows[:, None] == iota[None, :])
+                | ~vpad[None, :] | ~sl(vpad, start, r_t)[:, None])
+        return jnp.where(dead, big, dist), dead
+
+    # global bisection interval from the REPLICATED norms: radii are
+    # tiling- AND sharding-independent (lp.py:259-262 contract)
+    hi_global = 4.0 * jnp.maximum(jnp.max(jnp.where(vpad, npad, 0.0)), 1e-6)
+
+    def radius_tile(t):
+        dist, _ = masked_tile(t)
+        if cmp_bf16:
+            cmp, n_iters = dist.astype(jnp.bfloat16), 16
+        else:
+            cmp, n_iters = dist, 32
+        return _kth_smallest_per_row(cmp, k, iters=n_iters,
+                                     hi=hi_global).reshape(-1)
+
+    radii_blk = jax.lax.map(radius_tile, jnp.arange(n_tiles)).reshape(blk)
+    radii_blk = jnp.where(sl(vpad, i0, blk), radii_blk, big)
+    r_all = jax.lax.all_gather(radii_blk, axis, tiled=True)       # (mp,)
+
+    if sigma <= 0:
+        rv = jnp.sort(jnp.where(vpad, r_all, jnp.inf))
+        nv = jnp.sum(vpad.astype(jnp.int32))
+        med = rv[jnp.clip((nv - 1) // 2, 0, mp - 1)]
+        sigma2 = jnp.maximum(med / 4.0, 1e-12)
+    else:
+        sigma2 = jnp.asarray(sigma * sigma, jnp.float32)
+
+    def affinity_tile(t):
+        dist, dead = masked_tile(t)
+        cmp = dist.astype(jnp.bfloat16) if cmp_bf16 else dist
+        rr = sl(r_all, i0 + t * r_t, r_t)
+        cnt = ((cmp <= rr[:, None].astype(cmp.dtype)).astype(jnp.float32)
+               + (cmp <= r_all[None, :].astype(cmp.dtype)).astype(jnp.float32))
+        sim = jnp.exp(-0.5 * dist / sigma2)
+        return jnp.where(dead, 0.0, sim * cnt)
+
+    eps = jnp.asarray(jnp.finfo(jnp.float64).eps, jnp.float32)
+    if store_graph:
+        a_blk = jax.lax.map(
+            lambda t: affinity_tile(t).astype(store_dt),
+            jnp.arange(n_tiles)).reshape(blk, mp)
+        deg = jnp.sum(a_blk, axis=1, dtype=jnp.float32)
+    else:
+        deg = jax.lax.map(lambda t: jnp.sum(affinity_tile(t), axis=1),
+                          jnp.arange(n_tiles)).reshape(blk)
+    rinv = jnp.sqrt(1.0 / (deg + eps))                            # (blk,)
+    rinv_all = jax.lax.all_gather(rinv, axis, tiled=True)         # (mp,)
+
+    def matvec(z):                                                # (mp, C)
+        zt = z * rinv_all[:, None]
+        if store_graph and split_z:
+            hi = zt.astype(jnp.bfloat16)
+            lo = (zt - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            both = jnp.concatenate([hi, lo], axis=1)
+            sz2 = jnp.einsum("nm,mc->nc", a_blk, both,
+                             preferred_element_type=jnp.float32)
+            ncol = z.shape[1]
+            sz_blk = sz2[:, :ncol] + sz2[:, ncol:]
+        elif store_graph:
+            sz_blk = jnp.einsum("nm,mc->nc", a_blk, zt,
+                                preferred_element_type=jnp.float32)
+        else:
+            sz_blk = jax.lax.map(
+                lambda t: jnp.einsum("rm,mc->rc", affinity_tile(t), zt,
+                                     preferred_element_type=jnp.float32),
+                jnp.arange(n_tiles)).reshape(blk, -1)
+        sz_blk = sz_blk * rinv[:, None]
+        sz = jax.lax.all_gather(sz_blk, axis, axis=0, tiled=True)
+        return z - alpha * sz
+
+    return _chebyshev(matvec, ypad, 1.0 - alpha, 1.0 + alpha,
+                      iters=max(iters, 1))

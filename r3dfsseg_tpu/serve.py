@@ -260,10 +260,29 @@ class FewShotPredictor:
                 [proto_labels, jnp.zeros((nbk * n, c.n_classes), jnp.float32)])
 
             if mesh is not None:
-                from r3dfsseg_tpu.parallel import sp_label_propagate
-                z = sp_label_propagate(
-                    node_feat, y0, mesh=mesh, k=c.k_connect, sigma=c.sigma,
-                    alpha=c.lp_alpha, valid=node_valid, iters=c.lp_cg_iters)
+                m_nodes = node_feat.shape[0]
+                if m_nodes > 18000 or key[1] == "blocked":
+                    # blocked x sharded composition: per-device row blocks
+                    # built tile-by-tile (capacity = aggregate HBM x the
+                    # blocked headroom), same graph semantics; the dense
+                    # sp path's (M/n_dev, M) build slabs would crowd HBM
+                    # past ~18k nodes just like the single-chip dense path
+                    from r3dfsseg_tpu.parallel import (
+                        sp_blocked_label_propagate)
+                    gd = (c.compute_dtype if c.graph_dtype == "auto"
+                          else c.graph_dtype)
+                    z = sp_blocked_label_propagate(
+                        node_feat, y0, mesh=mesh, k=c.k_connect,
+                        sigma=c.sigma, alpha=c.lp_alpha, valid=node_valid,
+                        iters=c.lp_cg_iters,
+                        compute_dtype=(jnp.bfloat16 if gd == "bfloat16"
+                                       else None))
+                else:
+                    from r3dfsseg_tpu.parallel import sp_label_propagate
+                    z = sp_label_propagate(
+                        node_feat, y0, mesh=mesh, k=c.k_connect,
+                        sigma=c.sigma, alpha=c.lp_alpha, valid=node_valid,
+                        iters=c.lp_cg_iters)
             else:
                 # same relaxed-precision contract as the episode core: a
                 # bf16 compute/graph dtype halves the M^2 graph traffic

@@ -265,3 +265,65 @@ def test_episode_batch_bn_matches_e1_loop(rng):
         lambda e, got: np.testing.assert_allclose(
             e, np.asarray(got), rtol=1e-5, atol=1e-6),
         expected, mut4["batch_stats"])
+
+
+@pytest.mark.parametrize("sigma", [1.0, 0.0])
+def test_sp_blocked_matches_dense(rng, sigma):
+    """Blocked x sharded scene LP (VERDICT r3 #3): the per-device
+    tile-built graph on an 8-device mesh matches the single-device dense
+    threshold path — radii ride the global bisection interval, so they are
+    tiling- AND sharding-independent."""
+    from r3dfsseg_tpu.ops.lp import (label_propagate,
+                                     local_constrained_affinity)
+    from r3dfsseg_tpu.parallel import sp_blocked_label_propagate
+
+    m, d, c = 700, 24, 3
+    feat = rng.normal(size=(m, d)).astype(np.float32)
+    valid = np.ones(m, bool)
+    valid[rng.choice(m, 37, replace=False)] = False
+    y = np.zeros((m, c), np.float32)
+    rows = rng.choice(m, 40, replace=False)
+    y[rows, rng.integers(0, c, size=40)] = 1.0
+    k, alpha, iters = 20, 0.99, 60
+
+    a = local_constrained_affinity(
+        jnp.asarray(feat), k, sigma, valid=jnp.asarray(valid),
+        impl="threshold")
+    z_dense = np.asarray(label_propagate(
+        a, jnp.asarray(y), alpha, solver="cheby", cg_iters=iters))
+
+    for n_dev in (2, 8):
+        z_sp = np.asarray(sp_blocked_label_propagate(
+            jnp.asarray(feat), jnp.asarray(y), mesh=make_mesh(n_dev), k=k,
+            sigma=sigma, alpha=alpha, valid=jnp.asarray(valid),
+            iters=iters, row_tile=64))
+        np.testing.assert_allclose(z_sp, z_dense, rtol=2e-4, atol=2e-5,
+                                   err_msg=f"mesh {n_dev}")
+        np.testing.assert_array_equal(z_sp[valid].argmax(-1),
+                                      z_dense[valid].argmax(-1))
+
+
+def test_sp_blocked_matches_single_chip_blocked(rng):
+    """Sharded-blocked == single-chip blocked in BOTH storage modes, and
+    the rematerialising (store_graph=False) fallback agrees too."""
+    from r3dfsseg_tpu.ops.lp_blocked import blocked_label_propagate
+    from r3dfsseg_tpu.parallel import sp_blocked_label_propagate
+
+    m, d, c = 420, 16, 3
+    feat = rng.normal(size=(m, d)).astype(np.float32)
+    valid = np.ones(m, bool)
+    valid[rng.choice(m, 21, replace=False)] = False
+    y = np.zeros((m, c), np.float32)
+    rows = rng.choice(m, 30, replace=False)
+    y[rows, rng.integers(0, c, size=30)] = 1.0
+    kw = dict(k=12, sigma=0.0, alpha=0.99, valid=jnp.asarray(valid),
+              iters=40)
+
+    z_one = np.asarray(blocked_label_propagate(
+        jnp.asarray(feat), jnp.asarray(y), row_tile=128, **kw))
+    for store in (True, False):
+        z_sp = np.asarray(sp_blocked_label_propagate(
+            jnp.asarray(feat), jnp.asarray(y), mesh=make_mesh(4),
+            row_tile=64, store_graph=store, **kw))
+        np.testing.assert_allclose(z_sp, z_one, rtol=1e-4, atol=1e-5,
+                                   err_msg=f"store_graph={store}")

@@ -102,6 +102,7 @@ def test_predict_scene_whole_scene_graph(tmp_path, rng):
     in one global graph; the node-sharded (8-device mesh) and unsharded
     paths agree."""
     from r3dfsseg_tpu.learners import MPTILearner
+    from r3dfsseg_tpu.learners import MPTILearner
     from r3dfsseg_tpu.parallel import make_mesh
     from r3dfsseg_tpu.serve import FewShotPredictor
 
@@ -152,3 +153,30 @@ def test_predict_scene_blocked_matches_dense(tmp_path, rng, monkeypatch):
 
     assert (lab_dense == lab_blocked).mean() > 0.99, \
         (lab_dense != lab_blocked).sum()
+
+
+@pytest.mark.slow
+def test_predict_scene_mesh_blocked_matches_dense(rng, monkeypatch):
+    """serve's mesh path with the blocked x sharded LP forced
+    (R3D_SCENE_LP=blocked; auto engages it past 18k nodes) matches the
+    single-device prediction."""
+    from r3dfsseg_tpu.learners import MPTILearner
+    from r3dfsseg_tpu.parallel import make_mesh
+    from r3dfsseg_tpu.serve import FewShotPredictor
+
+    cfg = tiny_config(lp_cg_iters=10)
+    ep = _episode(cfg, rng)
+    learner = MPTILearner(cfg)
+    learner.init(ep)
+    p = FewShotPredictor(cfg, learner)
+
+    n_pts = 2 * cfg.pc_npts + 9
+    xyz = rng.uniform(0, 4, size=(n_pts, 3)).astype(np.float32)
+    rgb = rng.uniform(size=(n_pts, 3)).astype(np.float32)
+    args = (np.asarray(ep.support_x), np.asarray(ep.support_y), xyz, rgb)
+
+    lab1 = p.predict_scene(*args)
+    monkeypatch.setenv("R3D_SCENE_LP", "blocked")
+    lab_sp = p.predict_scene(*args, mesh=make_mesh(8))
+    agree = (lab1 == lab_sp).mean()
+    assert agree > 0.995, agree
