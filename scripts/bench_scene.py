@@ -12,6 +12,15 @@ node-sharded path (mesh) remains the scale-out option.
 Usage: python scripts/bench_scene.py [P ...]
        (default 8192 16384 32768 65536; the two large sizes take the
         blocked path automatically)
+
+       python scripts/bench_scene.py --project PxN [PxN ...]
+       (e.g. --project 131072x8: measure the PER-DEVICE workload of a
+        P-point scene sharded over an N-device mesh —
+        `parallel.sp_blocked_label_propagate`'s device body run for real
+        on the one available chip, with the ICI collectives replaced by
+        their local-shape equivalents.  The collectives it omits move
+        (M, C<=4) f32 per matvec — MBs over ICI, <1% of the matvec time —
+        so the per-device time IS the projected scene latency.)
 """
 import os
 import sys
@@ -22,7 +31,125 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+def sharded_projection(p: int, n_dev: int, bf16: bool) -> float:
+    """Per-device workload of sp_blocked_label_propagate at mesh=n_dev for
+    a (300 + p)-node graph: tile-built (M/n_dev, M) row block (radii via
+    the global-interval bisection — only MY rows, the rest arrive by
+    all_gather in the real run), stored graph, 50 Chebyshev matvecs.
+    Returns median seconds over 3 runs (after compile)."""
+    import jax
+    import jax.numpy as jnp
+
+    from r3dfsseg_tpu.ops.lp import _BIG, _chebyshev, _kth_smallest_per_row
+    from r3dfsseg_tpu.ops.lp_blocked import _tile_sqdist
+
+    m, d, c, k, iters, r_t = 300 + p, 192, 3, 200, 50, 512
+    blk = ((m + n_dev - 1) // n_dev + r_t - 1) // r_t * r_t
+    mp = blk * n_dev
+    n_tiles = blk // r_t
+    cmp_bf16 = bf16
+    # mirror the production auto: bf16 store in bf16 mode; f32 mode stores
+    # bf16 + split-z when the f32 block exceeds the per-device budget
+    f32_fits = blk * mp * 4 <= 9.2e9
+    store_dt = jnp.float32 if (not bf16 and f32_fits) else jnp.bfloat16
+    split_z = (not bf16) and not f32_fits
+    assert blk * mp * jnp.dtype(store_dt).itemsize <= 9.2e9, (
+        f"per-device block {blk}x{mp} exceeds the stored budget — "
+        "rematerialising mode; extend the projection if you need it")
+
+    @jax.jit
+    def run(fpad, npad, y):
+        iota = jnp.arange(mp)
+        big = jnp.asarray(_BIG, jnp.float32)
+        sl = lambda a, s, n: jax.lax.dynamic_slice_in_dim(a, s, n)  # noqa: E731
+
+        def masked_tile(t):
+            start = t * r_t          # device 0's rows
+            dist = _tile_sqdist(sl(fpad, start, r_t), fpad,
+                                sl(npad, start, r_t), npad)
+            rows = start + jnp.arange(r_t)
+            dead = rows[:, None] == iota[None, :]
+            return jnp.where(dead, big, dist), dead
+
+        hi_global = 4.0 * jnp.maximum(jnp.max(npad), 1e-6)
+
+        def radius_tile(t):
+            dist, _ = masked_tile(t)
+            if cmp_bf16:
+                return _kth_smallest_per_row(
+                    dist.astype(jnp.bfloat16), k, iters=16,
+                    hi=hi_global).reshape(-1)
+            return _kth_smallest_per_row(dist, k, iters=32,
+                                         hi=hi_global).reshape(-1)
+
+        radii_blk = jax.lax.map(radius_tile, jnp.arange(n_tiles)).reshape(blk)
+        # stand-in for the radius all_gather (identical shapes/cost)
+        r_all = jnp.tile(radii_blk, n_dev)
+        sigma2 = jnp.maximum(jnp.median(radii_blk) / 4.0, 1e-12)
+
+        def affinity_tile(t):
+            dist, dead = masked_tile(t)
+            cmp = dist.astype(jnp.bfloat16) if cmp_bf16 else dist
+            rr = sl(r_all, t * r_t, r_t)
+            cnt = ((cmp <= rr[:, None].astype(cmp.dtype)).astype(jnp.float32)
+                   + (cmp <= r_all[None, :].astype(cmp.dtype)
+                      ).astype(jnp.float32))
+            sim = jnp.exp(-0.5 * dist / sigma2)
+            return jnp.where(dead, 0.0, sim * cnt)
+
+        a_blk = jax.lax.map(
+            lambda t: affinity_tile(t).astype(store_dt),
+            jnp.arange(n_tiles)).reshape(blk, mp)
+        deg = jnp.sum(a_blk, axis=1, dtype=jnp.float32)
+        rinv = jnp.sqrt(1.0 / (deg + jnp.finfo(jnp.float32).eps))
+        rinv_all = jnp.tile(rinv, n_dev)
+
+        def matvec(z):
+            zt = z * rinv_all[:, None]
+            if split_z:
+                hi = zt.astype(jnp.bfloat16)
+                lo = (zt - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                both = jnp.concatenate([hi, lo], axis=1)
+                sz2 = jnp.einsum("nm,mc->nc", a_blk, both,
+                                 preferred_element_type=jnp.float32)
+                sz_blk = sz2[:, :c] + sz2[:, c:]
+            else:
+                sz_blk = jnp.einsum("nm,mc->nc", a_blk, zt,
+                                    preferred_element_type=jnp.float32)
+            sz_blk = sz_blk * rinv[:, None]
+            # stand-in for the (mp, C) all_gather
+            sz = jnp.tile(sz_blk, (n_dev, 1))
+            return z - 0.99 * sz
+
+        z = _chebyshev(matvec, y, 0.01, 1.99, iters=iters)
+        return jnp.sum(z)
+
+    rng = np.random.default_rng(0)
+    cdt = jnp.bfloat16 if bf16 else jnp.float32
+    fpad = jnp.asarray(rng.normal(size=(mp, d)).astype(np.float32)).astype(cdt)
+    npad = jnp.sum(fpad.astype(jnp.float32) ** 2, axis=-1)
+    y = jnp.zeros((mp, c), jnp.float32).at[:300, 0].set(1.0)
+    float(run(fpad, npad, y))                      # compile + warm
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(run(fpad, npad, y))                  # host sync via float()
+        times.append(time.perf_counter() - t0)
+    return sorted(times)[1]
+
+
 def main():
+    if "--project" in sys.argv[1:]:
+        specs = [a for a in sys.argv[1:] if "x" in a]
+        for spec in specs:
+            p, n_dev = (int(v) for v in spec.split("x"))
+            for tag, bf16 in (("bf16", True), ("f32 ", False)):
+                dt = sharded_projection(p, n_dev, bf16)
+                print(f"{tag} P={p} mesh={n_dev}: per-device {dt*1e3:.0f} ms"
+                      f"  -> projected scene {p/dt/1e3:.1f}k pts/s",
+                      flush=True)
+        return
+
     sizes = [int(a) for a in sys.argv[1:]] or [8192, 16384, 32768, 65536]
     from r3dfsseg_tpu.config import R3DConfig
     from r3dfsseg_tpu.learners import MPTILearner
