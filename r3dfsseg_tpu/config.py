@@ -165,10 +165,15 @@ class R3DConfig:
                                            # (bandwidth benchmarks only).
     exact_grad_gather: bool = False        # exact (slower) EdgeConv gather bwd
                                            # instead of the bf16 Pallas scatter
-    fuse_edge: str = "auto"                # EdgeConv tail: 'on' = fused
-                                           # Pallas kernels (measured SLOWER
-                                           # than XLA on v5e — DESIGN.md);
-                                           # auto/off = XLA path
+    fuse_edge: str = "auto"                # ARCHIVED negative result: the
+                                           # fused Pallas EdgeConv tail
+                                           # measured 2x slower than XLA on
+                                           # v5e in both layout generations
+                                           # (r2: 58 vs 42 ms; r4: 38.6 vs
+                                           # 18.7 ms) — kernels+tests in
+                                           # scripts/archive/fused_edge.py;
+                                           # 'on' now raises.  Flag kept so
+                                           # old configs parse.
     mesh_shape: Optional[Tuple[int, ...]] = None   # None => single chip
     profile_dir: Optional[str] = None      # jax.profiler trace output
 

@@ -132,68 +132,6 @@ class ConvBN(nn.Module):
         return x
 
 
-class _BNVars(nn.Module):
-    """Parameter/stat holder mirroring nn.BatchNorm's variable tree
-    ({scale,bias} params + {mean,var} batch_stats) for the fused EdgeConv
-    path, so checkpoints are interchangeable with the unfused modules."""
-    features: int
-
-    @nn.compact
-    def __call__(self):
-        scale = self.param("scale", nn.initializers.ones_init(),
-                           (self.features,))
-        bias = self.param("bias", nn.initializers.zeros_init(),
-                          (self.features,))
-        mean = self.variable("batch_stats", "mean",
-                             lambda: jnp.zeros(self.features, jnp.float32))
-        var = self.variable("batch_stats", "var",
-                            lambda: jnp.ones(self.features, jnp.float32))
-        return scale, bias, mean, var
-
-
-class _EdgeFirstLayerRaw(nn.Module):
-    """Fused-path layer0: factored conv + gather WITHOUT BN/leaky (those
-    run inside the fused tail kernel).  Same parameter tree as
-    _EdgeFirstLayer."""
-    features: int
-    dtype: Any = None
-    exact_grad: bool = False
-
-    @nn.compact
-    def __call__(self, x: Array, idx: Array):
-        conv = nn.Dense(self.features, use_bias=False, dtype=self.dtype,
-                        name="conv")
-        zeros = jnp.zeros_like(x)
-        a = conv(jnp.concatenate([x, zeros], axis=-1))
-        b = conv(jnp.concatenate([-x, x], axis=-1))
-        from r3dfsseg_tpu.ops.fast_gather import gather_neighbors_fast
-        e_raw = gather_neighbors_fast(a, idx, self.exact_grad) \
-            + b[:, :, None, :]
-        bn = _BNVars(self.features, name="bn")()
-        return e_raw, bn
-
-
-class _EdgeTailVars(nn.Module):
-    """Fused-path layer1 parameters: conv kernel + BN vars, same tree as
-    ConvBN."""
-    features_in: int
-    features_out: int
-
-    @nn.compact
-    def __call__(self):
-        class _K(nn.Module):
-            fin: int
-            fout: int
-
-            @nn.compact
-            def __call__(self):
-                return self.param("kernel", nn.initializers.lecun_normal(),
-                                  (self.fin, self.fout))
-        w1 = _K(self.features_in, self.features_out, name="conv")()
-        bn = _BNVars(self.features_out, name="bn")()
-        return w1, bn
-
-
 class EdgeConv(nn.Module):
     """One EdgeConv block: kNN -> edge features -> MLP -> max over k.
 
@@ -207,19 +145,15 @@ class EdgeConv(nn.Module):
       'approx' — lax.approx_max_k (TPU-optimised, ~4x faster than top_k,
                  recall ~0.95 — fine for training, not bit-parity).
 
-    fuse_edge selects the post-gather pipeline:
-      'on'  — BN0/leaky/W1/BN1/leaky/max run as fused Pallas kernels over
-              the raw edge tensor (ops/fused_edge.py);
-      'off'/'auto' — the unfused flax modules.  Measured on v5e (round 2):
-              the fused path is SLOWER (58 vs 42 ms/step train, 22.6 vs
-              20.1 ms eval) — XLA's bf16 elementwise fusion already keeps
-              the edge tensor passes cheap, and the fused backward's 3x
-              in-VMEM recompute costs more VPU time than the saved HBM
-              traffic.  Kept behind the flag as a verified alternative
-              (tests/test_fused_edge.py pins values + grads); 'auto'
-              therefore resolves to the XLA path.
-    The two paths share one parameter tree, so checkpoints are
-    interchangeable.
+    fuse_edge: ARCHIVED negative result.  The fused Pallas post-gather
+    pipeline (BN0/leaky/W1/BN1/leaky/max over the raw edge tensor)
+    measured SLOWER than XLA on v5e in BOTH layout generations — round 2:
+    58 vs 42 ms/step; round 4 re-measure under the one-hot-gather
+    layouts: 38.6 vs 18.7 ms/step — XLA's bf16 elementwise fusion already
+    keeps the edge-tensor passes cheap, and the fused backward's 3x
+    in-VMEM recompute costs more VPU time than the saved HBM traffic.
+    Kernels + value/grad tests live in `scripts/archive/fused_edge.py`;
+    requesting 'on' raises.
     """
     widths: Tuple[int, ...]
     k: int = 20
@@ -245,18 +179,14 @@ class EdgeConv(nn.Module):
             return idx.astype(jnp.int32)
         return knn_indices(x, self.k)
 
-    def _use_fused(self) -> bool:
-        if len(self.widths) != 2:
-            return False
-        return self.fuse_edge == "on"
-
     @nn.compact
     def __call__(self, x: Array, train: bool = False, groups: int = 1) -> Array:
+        if self.fuse_edge == "on":
+            raise NotImplementedError(
+                "fuse_edge='on' was archived as a measured negative result "
+                "(2x slower than XLA on v5e both rounds it was tried) — "
+                "see scripts/archive/fused_edge.py and DESIGN.md")
         idx = self._knn(jax.lax.stop_gradient(x))             # (B, N, K)
-        if self._use_fused() and groups == 1:
-            # the fused tail computes whole-batch BN statistics; per-episode
-            # grouping (episode batching) takes the unfused path
-            return self._fused(x, idx, train)
         modes = self.bn_modes or (self.bn_mode,) * len(self.widths)
         e = _EdgeFirstLayer(self.widths[0], dtype=self.dtype,
                             exact_grad=self.exact_grad_gather,
@@ -266,29 +196,6 @@ class EdgeConv(nn.Module):
             e = ConvBN(w, dtype=self.dtype, bn_mode=modes[i],
                        name=f"layer{i}")(e, train=train, groups=groups)
         return jnp.max(e, axis=2)                             # max over K
-
-    def _fused(self, x: Array, idx: Array, train: bool) -> Array:
-        from r3dfsseg_tpu.ops.fused_edge import (edge_batch_stats,
-                                                 fused_edge_tail)
-        e_raw, (g0, b0, rm0, rv0) = _EdgeFirstLayerRaw(
-            self.widths[0], dtype=self.dtype,
-            exact_grad=self.exact_grad_gather, name="layer0")(x, idx)
-        w1, (g1, b1, rm1, rv1) = _EdgeTailVars(
-            self.widths[0], self.widths[1], name="layer1")()
-        if train:
-            m0, v0, m1, v1 = edge_batch_stats(e_raw, g0, b0, w1)
-            if not self.is_initializing():   # flax momentum-0.9 update
-                rm0.value = 0.9 * rm0.value + 0.1 * m0
-                rv0.value = 0.9 * rv0.value + 0.1 * v0
-                rm1.value = 0.9 * rm1.value + 0.1 * m1
-                rv1.value = 0.9 * rv1.value + 0.1 * v1
-            out = fused_edge_tail(e_raw, g0, b0, w1, g1, b1,
-                                  m0, v0, m1, v1, True)
-        else:
-            out = fused_edge_tail(e_raw, g0, b0, w1, g1, b1,
-                                  rm0.value, rv0.value, rm1.value, rv1.value,
-                                  False)
-        return out.astype(x.dtype if self.dtype is None else self.dtype)
 
 
 class _EdgeFirstLayer(nn.Module):

@@ -12,7 +12,12 @@ import jax.numpy as jnp
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from r3dfsseg_tpu.ops import fused_edge  # noqa: E402
+# ARCHIVED with the kernel (round 4): load the module from the archive dir
+import importlib.util as _ilu  # noqa: E402
+_spec = _ilu.spec_from_file_location(
+    "fused_edge", os.path.join(os.path.dirname(__file__), "fused_edge.py"))
+fused_edge = _ilu.module_from_spec(_spec)
+_spec.loader.exec_module(fused_edge)
 
 
 @pytest.fixture(autouse=True)

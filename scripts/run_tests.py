@@ -24,7 +24,7 @@ SLOW1 = [
     "test_reference_parity.py", "test_reference_parity_cfg2.py",
     "test_reference_parity_extra.py", "test_reference_parity_grads.py",
     "test_torch_interop.py", "test_backbone.py", "test_transformer.py",
-    "test_fused_edge.py", "test_lowp_graph.py", "test_misc_configs.py",
+    "test_lowp_graph.py", "test_misc_configs.py",
     "test_models_smoke.py", "test_mpti.py", "test_ops.py",
     "test_opt_interop.py", "test_run_protocol.py",
 ]
