@@ -47,12 +47,22 @@ def _tile_sqdist(fi: Array, f_all: Array, ni: Array, n_all: Array) -> Array:
     return jnp.maximum(ni[:, None] + n_all[None, :] - 2.0 * g, 0.0)
 
 
-def _graph_build(node_feat, valid, *, k, sigma, row_tile, compute_dtype):
+def _graph_build(node_feat, valid, *, k, sigma, row_tile, compute_dtype,
+                 compare_dtype=None):
     """Shared build preamble for both scene-LP variants: pad + center the
     features, define the masked-distance row tiles, compute the per-row
     k-th-distance radii (value-space bisection over ONE GLOBAL interval,
     so the radii are independent of the tiling — mirroring the sharded
     path's global-hi contract, lp.py:259-262) and the bandwidth.
+
+    compare_dtype (defaults to compute_dtype) sets the dtype of the
+    NEIGHBOUR-SELECTION compares only — the bisection reads and the
+    radius/membership tests.  The split-store f32 path passes bf16 here:
+    the 32-pass f32 bisection re-reads every (row_tile, M) f32 tile from
+    HBM and dominates the f32 build (~0.7 s at 64k); a half-width compare
+    copy at 16 steps (which resolve past bf16's own resolution,
+    lp.py:126-134) cuts that traffic 4x while distances, exp and the
+    solve stay f32.
 
     Returns (m_pad, n_tiles, vpad, radii, sigma2, masked_tile,
     affinity_tile)."""
@@ -90,17 +100,18 @@ def _graph_build(node_feat, valid, *, k, sigma, row_tile, compute_dtype):
     hi_global = 4.0 * jnp.maximum(
         jnp.max(jnp.where(vpad[:m_pad], npad, 0.0)), 1e-6)
 
+    cmp_dtype = compare_dtype if compare_dtype is not None else compute_dtype
+
     def radius_tile(t):
         # bisection, not top_k: lax.top_k at k=200 over 33k-wide rows is
         # O(M*k) VPU work (seconds per build); the value-space bisection
         # is bandwidth-bound passes over the tile — the same radius
-        # semantics as the dense threshold path (lp.py:251-279).  In
-        # relaxed mode the compare copy is half-width and 16 steps
-        # resolve past bf16's own resolution (lp.py:126-134): half the
-        # traffic of half the passes.
+        # semantics as the dense threshold path (lp.py:251-279).  With a
+        # half-width compare copy, 16 steps resolve past bf16's own
+        # resolution (lp.py:126-134): half the traffic of half the passes.
         dist, _ = masked_tile(t)
-        if compute_dtype is not None:
-            cmp = dist.astype(compute_dtype)
+        if cmp_dtype is not None:
+            cmp = dist.astype(cmp_dtype)
             n_iters = 16
         else:
             cmp, n_iters = dist, 32
@@ -125,7 +136,7 @@ def _graph_build(node_feat, valid, *, k, sigma, row_tile, compute_dtype):
         handling matches the dense relaxed path; similarity values stay
         f32 until the caller's storage cast."""
         dist, dead = masked_tile(t)
-        cmp = dist.astype(compute_dtype) if compute_dtype is not None else dist
+        cmp = dist.astype(cmp_dtype) if cmp_dtype is not None else dist
         r_rows = jax.lax.dynamic_slice_in_dim(radii, t * r_t, r_t)
         cnt = ((cmp <= r_rows[:, None].astype(cmp.dtype)).astype(jnp.float32)
                + (cmp <= radii[None, :].astype(cmp.dtype)).astype(jnp.float32))
@@ -176,10 +187,7 @@ def blocked_label_propagate(
         graph (halves traffic; exp/accumulation stay f32).
     """
     m = node_feat.shape[0]
-    (m_pad, n_tiles, _vpad, _radii, _sigma2,
-     _masked_tile, affinity_tile) = _graph_build(
-        node_feat, valid, k=k, sigma=sigma, row_tile=row_tile,
-        compute_dtype=compute_dtype)
+    m_pad = ((m + int(row_tile) - 1) // int(row_tile)) * int(row_tile)
 
     store_dt = compute_dtype or jnp.float32
     split_z = bool(split_store)
@@ -195,21 +203,29 @@ def blocked_label_propagate(
         if not store_graph and compute_dtype is None and split_store is None \
                 and m_pad * m_pad * 2 <= budget:
             # f32-accuracy mode past the f32 storage budget (the "f32
-            # cliff", BASELINE.md note 5): build the graph fully in f32
-            # (f32 gram, 32-step bisection, f32 tie compares, f32 exp) and
-            # store it ONCE in bf16 — the only relaxation is that single
-            # ~0.4% storage rounding of the similarity values, which the
-            # half-width graph-chain A/B validated in-band.  The Chebyshev
-            # direction vector is kept EXACT through the recurrence by a
-            # split-bf16 hi/lo pair (the pallas_cheby trick: rounding z to
-            # bf16 each step compounds over 50 iterations and was measured
-            # harmful, while the split fully recovers it).  Both halves
-            # ride ONE pass over the stored matrix (concatenated into one
+            # cliff", BASELINE.md note 5): build the graph with f32
+            # distances and f32 exp, resolve neighbour selection on a
+            # half-width compare copy (16-step bisection — the f32
+            # 32-pass bisection re-reading f32 tiles is ~0.7 s of HBM
+            # traffic at 64k on its own), and store the similarities ONCE
+            # in bf16 — relaxations the half-width graph-chain A/B
+            # validated in-band.  The Chebyshev direction vector is kept
+            # EXACT through the recurrence by a split-bf16 hi/lo pair
+            # (the pallas_cheby trick: rounding z to bf16 each step
+            # compounds over 50 iterations and was measured harmful,
+            # while the split fully recovers it).  Both halves ride ONE
+            # pass over the stored matrix (concatenated into one
             # 2C-column RHS, C = n_way+1 is tiny), so this runs at the
             # bf16 stored-graph speed, not the 2.2 s rematerialising f32
             # fallback.
             store_graph, split_z = True, True
             store_dt = jnp.bfloat16
+
+    (m_pad, n_tiles, _vpad, _radii, _sigma2,
+     _masked_tile, affinity_tile) = _graph_build(
+        node_feat, valid, k=k, sigma=sigma, row_tile=row_tile,
+        compute_dtype=compute_dtype,
+        compare_dtype=(jnp.bfloat16 if split_z else None))
 
     eps = jnp.asarray(jnp.finfo(jnp.float64).eps, jnp.float32)
     ypad = jnp.zeros((m_pad, y.shape[1]), jnp.float32).at[:m].set(
