@@ -327,3 +327,28 @@ def test_sp_blocked_matches_single_chip_blocked(rng):
             row_tile=64, store_graph=store, **kw))
         np.testing.assert_allclose(z_sp, z_one, rtol=1e-4, atol=1e-5,
                                    err_msg=f"store_graph={store}")
+
+
+@pytest.mark.slow
+def test_episode_batch_bn_protonet_matches_e1_loop(rng):
+    """The per-episode-BN contract holds for the ProtoNet family too
+    (groups threading covers all three models)."""
+    from r3dfsseg_tpu.models.protonet import ProtoNet
+
+    cfg = tiny_config(pc_npts=32, dgcnn_k=4, attn_dropout=0.0)
+    model = ProtoNet(cfg, with_contrast=False)
+    eps = [_episode(cfg, rng) for _ in range(3)]
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)},
+                           eps[0], train=False)
+    rngs = {"dropout": jax.random.PRNGKey(2)}
+    apply = jax.jit(lambda ep: model.apply(
+        variables, ep, train=True, mutable=["batch_stats"], rngs=rngs))
+
+    outs1 = [apply(jax.tree.map(jnp.asarray, ep))[0] for ep in eps]
+    out3 = apply(jax.tree.map(jnp.asarray, stack_episodes(eps)))[0]
+    for i, o in enumerate(outs1):
+        np.testing.assert_allclose(np.asarray(out3.query_logits[i]),
+                                   np.asarray(o.query_logits[0]),
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=f"episode {i}")
