@@ -88,6 +88,28 @@ def pretrain(cfg: R3DConfig, *, batch_size: int = 16, lr: float = 0.001,
     tx = optax.adam(lr)
     opt_state = tx.init(params)
 
+    # scene-batch DP over a device mesh (same recipe as the meta-train
+    # CLIs): params replicated, the (B, N, C) batch sharded on its scene
+    # axis, XLA inserts the gradient all-reduce AND the cross-device
+    # BatchNorm statistics reduction — pretraining keeps its whole-batch
+    # BN semantics (16 scenes per stat batch) at any mesh size.
+    n_dev = cfg.mesh_shape[0] if cfg.mesh_shape else len(jax.devices())
+    data_sharding = None
+    if n_dev > 1 and batch_size % n_dev == 0:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from r3dfsseg_tpu.parallel import make_mesh, replicate
+        mesh = make_mesh(n_dev)
+        params, batch_stats, opt_state = replicate(
+            (params, batch_stats, opt_state), mesh)
+        data_sharding = NamedSharding(mesh, P("data"))
+        logger.cprint("pretrain DP: %d-scene batches sharded over %d devices"
+                      % (batch_size, n_dev))
+    elif n_dev > 1:
+        logger.cprint("WARNING: pretrain DP disabled — batch_size %d does "
+                      "not divide the %d visible devices"
+                      % (batch_size, n_dev))
+
     @jax.jit
     def step(params, batch_stats, opt_state, x, y, drng):
         def loss_fn(p):
@@ -117,7 +139,8 @@ def pretrain(cfg: R3DConfig, *, batch_size: int = 16, lr: float = 0.001,
 
     pipelined = device_put_prefetch(
         prefetch_iter(batches(), prefetch=4), n=2,
-        put=lambda t: (jax.device_put(t[0]), jax.device_put(t[1])))
+        put=lambda t: (jax.device_put(t[0], data_sharding),
+                       jax.device_put(t[1], data_sharding)))
     for it, (x, y) in enumerate(pipelined):
         jrng, drng = jax.random.split(jrng)
         params, batch_stats, opt_state, loss, acc = step(

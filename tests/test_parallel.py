@@ -352,3 +352,35 @@ def test_episode_batch_bn_protonet_matches_e1_loop(rng):
                                    np.asarray(o.query_logits[0]),
                                    rtol=2e-4, atol=2e-4,
                                    err_msg=f"episode {i}")
+
+
+@pytest.mark.slow
+def test_pretrain_dp_matches_single_device(tmp_path):
+    """Scene-batch DP pretraining over the 8-device mesh reproduces the
+    single-device loss curve (replicated params, sharded batch, GSPMD
+    gradient + BN-stats all-reduce)."""
+    import re
+
+    from pretrain import pretrain
+    from r3dfsseg_tpu.config import tiny_config
+    from r3dfsseg_tpu.data.synthetic import make_synthetic_dataset
+
+    ds = make_synthetic_dataset(str(tmp_path / "blocks"), n_scans=40,
+                                pts_per_scan=512, seed=7)
+
+    def run(tag, mesh_shape):
+        cfg = tiny_config(
+            dataset="s3dis", cvfold=0, clean_data_path=ds, phase="pretrain",
+            n_iters=10, mesh_shape=mesh_shape,
+            log_dir=str(tmp_path / tag), save_path=str(tmp_path))
+        pretrain(cfg, batch_size=8)
+        log = open(tmp_path / tag / "log_pretrain.txt").read()
+        return log, [float(m) for m in
+                     re.findall(r"loss ([0-9.]+)", log)]
+
+    log8, losses8 = run("dp8", None)       # all 8 virtual devices
+    assert "pretrain DP" in log8
+    log1, losses1 = run("dp1", (1,))
+    assert "pretrain DP" not in log1
+    assert len(losses8) == len(losses1) >= 1
+    np.testing.assert_allclose(losses8, losses1, rtol=2e-3)
