@@ -384,3 +384,33 @@ def test_pretrain_dp_matches_single_device(tmp_path):
     assert "pretrain DP" not in log1
     assert len(losses8) == len(losses1) >= 1
     np.testing.assert_allclose(losses8, losses1, rtol=2e-3)
+
+
+@pytest.mark.slow
+def test_episode_batch_bn_transformer_matches_e1_loop(rng):
+    """Per-episode-BN contract for the transformer baseline: the model has
+    dropout in its encoder layers, so run train=True with dropout rates
+    zeroed via a deterministic rng comparison on the LOSS (the transformer
+    head's dropout draws differ between E=1 and E=3 shapes, so compare in
+    eval-BN-free train mode with dropout disabled)."""
+    from r3dfsseg_tpu.models.transformer import ProtoNetTransformer
+
+    cfg = tiny_config(pc_npts=32, dgcnn_k=4, attn_dropout=0.0,
+                      d_model=8, n_head=2, n_layers=1, d_feed=8)
+    model = ProtoNetTransformer(cfg, d_model=8, n_layers=1, n_head=2,
+                                d_feed=8, dropout=0.0)
+    eps = [_episode(cfg, rng) for _ in range(3)]
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)},
+                           eps[0], train=False)
+    rngs = {"dropout": jax.random.PRNGKey(2)}
+    apply = jax.jit(lambda ep: model.apply(
+        variables, ep, train=True, mutable=["batch_stats"], rngs=rngs))
+
+    outs1 = [apply(jax.tree.map(jnp.asarray, ep))[0] for ep in eps]
+    out3 = apply(jax.tree.map(jnp.asarray, stack_episodes(eps)))[0]
+    for i, o in enumerate(outs1):
+        np.testing.assert_allclose(np.asarray(out3.query_logits[i]),
+                                   np.asarray(o.query_logits[0]),
+                                   rtol=5e-4, atol=5e-4,
+                                   err_msg=f"episode {i}")
