@@ -250,3 +250,36 @@ def test_bn_mode_hybrid_is_exact_in_f32():
     lvl1 = np.asarray(y)[..., :64]
     b16 = lvl1 == np.asarray(jnp.asarray(lvl1, jnp.bfloat16), np.float32)
     assert not b16.all(), "level-1 features were bf16-quantised in hybrid"
+
+
+def test_grouped_batchnorm_matches_flax_per_group(rng):
+    """GroupedBatchNorm == flax BatchNorm applied per group, for both
+    two-pass and fast-variance statistics, and its running-stat update is
+    the mean of the per-group flax updates."""
+    import flax.linen as fnn
+
+    from r3dfsseg_tpu.nn import GroupedBatchNorm
+
+    x = rng.normal(size=(6, 10, 5)).astype(np.float32) * 3.0 + 1.5
+    for fast in (False, True):
+        gbn = GroupedBatchNorm(use_fast_variance=fast)
+        v = gbn.init(jax.random.PRNGKey(0), jnp.asarray(x), 1)
+        yg, mut = gbn.apply(v, jnp.asarray(x), 3, mutable=["batch_stats"])
+
+        bn = fnn.BatchNorm(use_running_average=False, momentum=0.9,
+                           epsilon=1e-5, use_fast_variance=fast)
+        vb = bn.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        outs, stats = [], []
+        for g in range(3):
+            y1, m1 = bn.apply(vb, jnp.asarray(x[2 * g:2 * g + 2]),
+                              mutable=["batch_stats"])
+            outs.append(np.asarray(y1))
+            stats.append(m1["batch_stats"])
+        np.testing.assert_allclose(np.asarray(yg),
+                                   np.concatenate(outs), rtol=2e-5,
+                                   atol=2e-5, err_msg=f"fast={fast}")
+        for key in ("mean", "var"):
+            want = np.mean([np.asarray(s[key]) for s in stats], axis=0)
+            np.testing.assert_allclose(
+                np.asarray(mut["batch_stats"][key]), want,
+                rtol=1e-5, atol=1e-6, err_msg=f"{key} fast={fast}")
