@@ -14,7 +14,16 @@ Single chip suffices: the semantics depend on E, not the device count
 (device-count invariance is pinned by
 tests/test_parallel.py::test_mesh_size_independence_1_2_4_8).
 
-Usage: python scripts/ab_e8.py [workdir]   # resumes an existing workdir
+Two budgets (round-4 results in BASELINE.md):
+  * default: 2000 EPISODES (= 250 steps at E=8) — the equal-episode
+    comparison; trails the band as plain mini-batching predicts (0.189
+    mean over 3 seeds);
+  * --eqstep: 16000 episodes (= 2000 steps) — the equal-STEP comparison;
+    landed ABOVE the band (0.416/0.447 @2000 steps, seeds 123/124),
+    validating the multi-chip design point (N chips advance the same
+    step clock through N episodes at a time).
+
+Usage: python scripts/ab_e8.py [workdir] [--eqstep]   # resumes a workdir
 Appends results to <workdir>/ab_e8_results.txt
 """
 import os
@@ -34,8 +43,10 @@ DESIGN_POINT = dict(compute_dtype="bfloat16", bn_mode="fastvar",
 
 
 def main():
-    if len(sys.argv) > 1:
-        tmp = sys.argv[1]
+    eqstep = "--eqstep" in sys.argv
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if args:
+        tmp = args[0]
         os.makedirs(tmp, exist_ok=True)
     else:
         tmp = tempfile.mkdtemp(prefix="ab_e8_")
@@ -51,17 +62,21 @@ def main():
         pretrain_encoder(ds, tmp)
 
     results_path = os.path.join(tmp, "ab_e8_results.txt")
-    for seed in (123, 124, 125):
-        tag = f"e8_seed{seed}"
+    n_iters = 16000 if eqstep else 2000
+    seeds = (123, 124) if eqstep else (123, 124, 125)
+    for seed in seeds:
+        tag = f"e8_{'eqstep_' if eqstep else 'seed'}{seed}"
         if os.path.isdir(os.path.join(tmp, tag)):
             print(f"skip {tag} (exists)", flush=True)
             continue
-        ious, losses = run(tag, ds, tmp, 2000, pretrain_checkpoint_path=ckpt,
+        ious, losses = run(tag, ds, tmp, n_iters,
+                           pretrain_checkpoint_path=ckpt,
                            episode_batch=8, seed=seed, **DESIGN_POINT)
         k = min(len(losses), 50)
-        line = ("LEG %s val IoU %s | first/last-50 loss %.4f -> %.4f"
-                % (tag, ious, float(np.mean(losses[:k])),
-                   float(np.mean(losses[-k:]))))
+        line = ("LEG %s (%d episodes) val IoU %s | first/last-50 loss "
+                "%.4f -> %.4f" % (tag, n_iters, ious,
+                                  float(np.mean(losses[:k])),
+                                  float(np.mean(losses[-k:]))))
         print(line, flush=True)
         with open(results_path, "a") as f:
             f.write(line + "\n")
