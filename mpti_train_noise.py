@@ -60,7 +60,8 @@ def train(cfg: R3DConfig):
         msgpack = os.path.join(cfg.model_checkpoint_path, "checkpoint.msgpack")
         tar = os.path.join(cfg.model_checkpoint_path, "checkpoint.tar")
         if os.path.exists(msgpack):
-            blob, state = load_checkpoint(msgpack, learner.state)
+            blob, state = load_checkpoint(msgpack, learner.state,
+                                          episode_batch=cfg.episode_batch)
             learner.state = state
         elif os.path.exists(tar):
             # reference torch checkpoint: params + BN stats + Adam moments
@@ -256,10 +257,11 @@ def train(cfg: R3DConfig):
                 best_iou = mean_iou
                 logger.cprint("*******************Model Saved*******************")
                 save_checkpoint(os.path.join(cfg.log_dir, "checkpoint.msgpack"),
-                                learner.state, loss=valid_loss, iou=best_iou)
+                                learner.state, loss=valid_loss, iou=best_iou,
+                                iteration=it)
             save_checkpoint(
                 os.path.join(cfg.log_dir, f"checkpoint_{it}.msgpack"),
-                learner.state, loss=valid_loss, iou=best_iou)
+                learner.state, loss=valid_loss, iou=best_iou, iteration=it)
             eval_elapsed[0] += _time.perf_counter() - t_eval
     flush()
     writer.close()

@@ -24,11 +24,16 @@ def _to_host(tree):
 
 
 def save_checkpoint(path: str, state: TrainState, *, loss: float = 0.0,
-                    iou: float = 0.0):
-    """Write {iteration, params, batch_stats, opt_state, loss, IoU}."""
+                    iou: float = 0.0, iteration: Optional[int] = None):
+    """Write {iteration, params, batch_stats, opt_state, loss, IoU}.
+
+    `iteration` is in EPISODE terms like the reference's (one optimizer
+    step consumes episode_batch episodes); callers with episode batching
+    pass it explicitly — the default equals state.step, which is correct
+    at episode_batch=1."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     blob = {
-        "iteration": int(state.step),
+        "iteration": int(iteration if iteration is not None else state.step),
         "params": _to_host(serialization.to_state_dict(state.params)),
         "batch_stats": _to_host(serialization.to_state_dict(state.batch_stats)),
         # optax states (e.g. multi_transform's PartitionState) need the
@@ -44,17 +49,21 @@ def save_checkpoint(path: str, state: TrainState, *, loss: float = 0.0,
     os.replace(tmp, path)
 
 
-def load_checkpoint(path: str, state: Optional[TrainState] = None
+def load_checkpoint(path: str, state: Optional[TrainState] = None,
+                    *, episode_batch: int = 1
                     ) -> Tuple[dict, Optional[TrainState]]:
     """Read a checkpoint; if a template TrainState is given, restore into it
-    (shapes/dtypes validated by flax)."""
+    (shapes/dtypes validated by flax).  `iteration` is stored in episode
+    terms; TrainState.step counts optimizer steps, so the train-mode
+    caller passes its episode_batch for the conversion."""
     with open(path, "rb") as f:
         blob = serialization.msgpack_restore(f.read())
     if state is None:
         return blob, None
     import jax.numpy as jnp
     restored = TrainState(
-        step=jnp.asarray(blob["iteration"], jnp.int32),
+        step=jnp.asarray(blob["iteration"] // max(episode_batch, 1),
+                         jnp.int32),
         params=serialization.from_state_dict(state.params, blob["params"]),
         batch_stats=serialization.from_state_dict(
             state.batch_stats, blob["batch_stats"]),

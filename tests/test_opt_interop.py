@@ -177,3 +177,24 @@ def test_cli_resumes_from_reference_tar(tmp_path, rng):
                     jax.tree.leaves(learner.state.opt_state)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_checkpoint_iteration_in_episode_units(tmp_path, rng):
+    """Checkpoints store `iteration` in EPISODE terms (reference units)
+    while TrainState.step counts optimizer steps: at episode_batch=8 a
+    250-step state saves iteration=2000 and resume restores step=250."""
+    import jax.numpy as jnp
+
+    from r3dfsseg_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    cfg, learner = _trained_learner(rng)           # 2 steps at E=1
+    learner.state = learner.state._replace(step=jnp.asarray(250, jnp.int32))
+    path = str(tmp_path / "checkpoint.msgpack")
+    save_checkpoint(path, learner.state, iou=0.5, iteration=250 * 8)
+    blob, restored = load_checkpoint(path, learner.state, episode_batch=8)
+    assert blob["iteration"] == 2000
+    assert int(restored.step) == 250
+    # E=1 default: identical units both ways
+    save_checkpoint(path, learner.state, iou=0.5)
+    blob, restored = load_checkpoint(path, learner.state)
+    assert blob["iteration"] == 250 and int(restored.step) == 250
