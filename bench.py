@@ -4,10 +4,16 @@ reference's headline config (2-way 5-shot, 2048 pts, attention,
 100 subprototypes, k_connect=200 — `/root/repo/BASELINE.json`).
 
 Prints ONE JSON line.  Fields:
-  metric/value/unit     — optimized-mode train episodes/sec/chip
+  metric/value/unit     — train episodes/sec/chip at the SHIPPED DEFAULT
+                          config (bn_mode=fastvar since round 5)
+  value_bn_exact        — same step with --bn_mode exact (two-pass f32 BN)
   parity_eps_per_sec    — reference-faithful mode (episode_batch=1, f32,
-                          exact top-k affinity, dense LP solve, XLA kNN):
-                          same semantics the CUDA reference computes
+                          exact top-k affinity, XLA kNN, f32 Chebyshev-150
+                          LP solve — golden-parity-equivalent to the dense
+                          inverse, see tests): same semantics the CUDA
+                          reference computes
+  parity_dense_eps_per_sec — parity mode with the dense LU solve (the
+                          rounds-1-4 definition, for continuity)
   eval_eps_per_sec      — eval step (MDNS on, no backward) at the
                           optimized design point
   mfu_vs_bf16_peak      — analytic model FLOPs / (step time x 197 TFLOP/s
@@ -158,20 +164,42 @@ def model_flops_per_episode(cfg) -> float:
 def main():
     from r3dfsseg_tpu.config import R3DConfig
 
-    # bn_mode=fastvar: f32 single-pass BN statistics + f32 outputs — saves
-    # one full-tensor read per BN vs the exact two-pass default and passed
-    # the sigma-0 convergence A/B within the parity seed spread
-    # (BASELINE.md round-2 table: 0.268 vs 0.277 @2k iters).
+    # The optimized design point IS the config default since round 5:
+    # bn_mode=fastvar (f32 single-pass BN statistics + f32 outputs — saves
+    # one full-tensor read per BN; sigma-0 convergence A/B in-band,
+    # BASELINE.md round-2 table: 0.268 vs 0.277 @2k iters), so `value` is
+    # the rate a user gets running default flags.  `value_bn_exact` is the
+    # same step with the two-pass f32 BN ('--bn_mode exact'), measured at
+    # the SAME chained methodology — the two numbers bound the BN-precision
+    # cost (VERDICT r4 weak #2: reconcile headline vs default).
     opt_cfg = R3DConfig(episode_batch=EBATCH, lp_solver="cheby",
                         lp_cg_iters=50, lp_adjoint_iters=30,
-                        compute_dtype="bfloat16", bn_mode="fastvar")
+                        compute_dtype="bfloat16")
+    assert opt_cfg.bn_mode == "fastvar"  # bench == shipped default
     train_eps = measure_train(opt_cfg, EBATCH)
     eval_eps = measure_eval(opt_cfg, EBATCH)
+    exact_cfg = R3DConfig(episode_batch=EBATCH, lp_solver="cheby",
+                          lp_cg_iters=50, lp_adjoint_iters=30,
+                          compute_dtype="bfloat16", bn_mode="exact")
+    train_eps_exact = measure_train(exact_cfg, EBATCH)
 
-    parity_cfg = R3DConfig(episode_batch=1, lp_solver="solve",
+    # Parity mode = reference-faithful semantics: f32 everywhere, exact
+    # top-k affinity, XLA kNN/FPS.  Since round 5 the LP solve is f32
+    # Chebyshev-150 (HIGHEST-precision matvecs, full-count adjoint): at
+    # alpha=0.99 it converges to ~5e-10 relative — the golden fwd+grad
+    # parity tests pass with it unchanged (test_reference_parity.py::
+    # test_eval_logits_match_cheby_parity_solver, test_reference_parity_
+    # grads.py solver='cheby150') — while dropping the O(n^3) dense LU
+    # that made parity-mode training 10x the optimized stack (VERDICT r4
+    # weak #6).  `parity_dense_eps_per_sec` keeps the dense-solve rate
+    # for continuity with rounds 1-4.
+    parity_cfg = R3DConfig(episode_batch=1, lp_solver="cheby",
+                           lp_cg_iters=150, lp_adjoint_iters=0,
                            affinity_impl="topk", knn_impl="xla",
                            fps_impl="xla", compute_dtype="float32")
     parity_eps = measure_train(parity_cfg, 1)
+    dense_cfg = parity_cfg.replace(lp_solver="solve", lp_cg_iters=50)
+    parity_dense_eps = measure_train(dense_cfg, 1)
 
     try:
         scene_pts = measure_scene(opt_cfg)
@@ -202,7 +230,9 @@ def main():
         "value": round(train_eps, 3),
         "unit": "episodes/s",
         # lead comparisons: measured vs measured
+        "value_bn_exact": round(train_eps_exact, 3),
         "parity_eps_per_sec": round(parity_eps, 3),
+        "parity_dense_eps_per_sec": round(parity_dense_eps, 3),
         "eval_eps_per_sec": round(eval_eps, 3),
         "mfu_vs_bf16_peak": round(mfu, 4),
     }

@@ -131,13 +131,15 @@ def build_parser(eval_mode: bool = False) -> argparse.ArgumentParser:
                         "--compute_dtype")
     p.add_argument("--attn_f32", action="store_true",
                    help="keep attention matmuls f32 even in bf16 mode")
-    p.add_argument("--bn_mode", default="exact",
+    p.add_argument("--bn_mode", default="fastvar",
                    choices=["exact", "fastvar", "hybrid", "stats", "relaxed"],
-                   help="BatchNorm precision in bf16 mode: exact = f32 "
-                        "two-pass stats + f32 outputs (default — bf16 "
-                        "fast-var BN loses ~0.1 mean-IoU in meta-training "
-                        "A/Bs); fastvar = f32 single-pass stats + f32 "
-                        "outputs; hybrid = f32 outputs only for the BNs "
+                   help="BatchNorm precision in bf16 mode: fastvar = f32 "
+                        "single-pass stats + f32 outputs (default — "
+                        "convergence A/B in-band, and identical to exact "
+                        "without a bf16 compute dtype); exact = f32 "
+                        "two-pass stats + f32 outputs (bf16 fast-var BN "
+                        "loses ~0.1 mean-IoU in meta-training A/Bs); "
+                        "hybrid = f32 outputs only for the BNs "
                         "that feed the 192-d embedding directly, relaxed "
                         "elsewhere; stats = f32 stats, bf16 outputs; "
                         "relaxed = bf16 fast-var (bandwidth benchmarks "
@@ -194,7 +196,7 @@ def args_to_config(args: argparse.Namespace, eval_mode: bool = False) -> R3DConf
         compute_dtype=args.compute_dtype,
         graph_dtype=getattr(args, "graph_dtype", "auto"),
         attn_f32=getattr(args, "attn_f32", False),
-        bn_mode=getattr(args, "bn_mode", "exact"),
+        bn_mode=getattr(args, "bn_mode", "fastvar"),
         profile_dir=args.profile_dir,
         log_dir=args.log_dir if hasattr(args, "log_dir") else "debug",
     )

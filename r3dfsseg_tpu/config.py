@@ -148,13 +148,20 @@ class R3DConfig:
     attn_f32: bool = False                 # keep SelfAttention score/value
                                            # matmuls f32 even in bf16 mode
                                            # (accuracy knob)
-    bn_mode: str = "exact"                 # BatchNorm precision in bf16
-                                           # mode: 'exact' = f32 two-pass
-                                           # stats + f32 outputs (DEFAULT:
-                                           # bf16 fast-var BN loses ~0.1
-                                           # mean-IoU in meta-training A/Bs,
-                                           # BASELINE.md); 'fastvar' = f32
-                                           # single-pass stats + f32 out;
+    bn_mode: str = "fastvar"               # BatchNorm precision in bf16
+                                           # mode.  DEFAULT 'fastvar' = f32
+                                           # single-pass stats + f32 outputs
+                                           # (saves one full-tensor read per
+                                           # BN; convergence A/B in-band,
+                                           # BASELINE.md round-2, and bit-
+                                           # identical to 'exact' without a
+                                           # bf16 compute dtype — pinned by
+                                           # test_bn_mode_hybrid_is_exact_
+                                           # in_f32).  'exact' = f32 two-
+                                           # pass stats + f32 outputs (the
+                                           # f32 reference semantics; bf16
+                                           # fast-var BN loses ~0.1 mean-IoU
+                                           # in meta-training A/Bs);
                                            # 'hybrid' = f32 outputs only for
                                            # the embedding-feeding BNs
                                            # (edgeconv0 last layer + final

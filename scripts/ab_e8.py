@@ -24,7 +24,8 @@ Two budgets (round-4 results in BASELINE.md):
     the multi-chip design point (N chips advance the same step clock
     through N episodes at a time).
 
-Usage: python scripts/ab_e8.py [workdir] [--eqstep]   # resumes a workdir
+Usage: python scripts/ab_e8.py [workdir] [--eqstep] [--seeds 126,127]
+(resumes a workdir; default seeds 123,124,125)
 Appends results to <workdir>/ab_e8_results.txt
 """
 import os
@@ -45,7 +46,13 @@ DESIGN_POINT = dict(compute_dtype="bfloat16", bn_mode="fastvar",
 
 def main():
     eqstep = "--eqstep" in sys.argv
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    seeds = (123, 124, 125)
+    argv = list(sys.argv[1:])
+    if "--seeds" in argv:
+        i = argv.index("--seeds")
+        seeds = tuple(int(s) for s in argv[i + 1].split(","))
+        del argv[i:i + 2]
+    args = [a for a in argv if not a.startswith("--")]
     if args:
         tmp = args[0]
         os.makedirs(tmp, exist_ok=True)
@@ -64,7 +71,6 @@ def main():
 
     results_path = os.path.join(tmp, "ab_e8_results.txt")
     n_iters = 16000 if eqstep else 2000
-    seeds = (123, 124, 125)
     for seed in seeds:
         tag = f"e8_{'eqstep_' if eqstep else 'seed'}{seed}"
         if os.path.isdir(os.path.join(tmp, tag)):

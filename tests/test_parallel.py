@@ -113,6 +113,13 @@ def test_cli_training_sharded_matches_single_device(tmp_path):
     miou = evaluate(ecfg)
     assert 0.0 <= miou <= 1.0
 
+    # eval-side episode-DP == single-device (VERDICT r4 #8): the SAME
+    # cached episode set + checkpoint through the eval CLI unsharded must
+    # reproduce the sharded mean-IoU.  Forward-only, so the only noise is
+    # GSPMD reduction order flipping an argmax on an exact tie.
+    miou1 = evaluate(ecfg.replace(episode_batch=1, mesh_shape=(1,)))
+    np.testing.assert_allclose(miou1, miou, atol=5e-3)
+
 
 @pytest.mark.slow
 def test_sp_label_propagate_matches_unsharded(rng):

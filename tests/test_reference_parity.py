@@ -133,6 +133,36 @@ def test_eval_logits_and_loss_match(golden, name, mode):
                                atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.parametrize("name,mode", [
+    ("f0", "eval_plain"), ("f0", "eval_mdns"),
+    ("f1", "eval_plain"), ("f1", "eval_mdns"),
+])
+@pytest.mark.slow
+def test_eval_logits_match_cheby_parity_solver(golden, name, mode):
+    """The fast-parity LP solver (f32 Chebyshev-150, HIGHEST-precision
+    matvecs) matches the reference's dense inverse (mpti.py:775) within the
+    SAME golden tolerance as the dense `solve` path: at alpha=0.99 the
+    system's condition is ~199, so 150 Chebyshev iterations converge to
+    ~5e-10 relative — far below f32 cross-framework noise.  This is the
+    evidence behind bench.py's parity mode using cheby-150 instead of the
+    O(n^3) dense solve (selection semantics unchanged: exact top-k
+    affinity, XLA kNN/FPS, f32 everywhere)."""
+    data, meta, cfg, learner, eps = golden
+    ccfg = cfg.replace(lp_solver="cheby", lp_cg_iters=150,
+                       lp_adjoint_iters=0)
+    clearner = MPTILearner(ccfg)
+    clearner.init(eps[meta["fixtures"][0]])
+    clearner.load_params(learner.state.params, learner.state.batch_stats)
+    out = clearner.model.apply(_vars(clearner), eps[name], train=False,
+                               eval_mdns=(mode == "eval_mdns"))
+    got = np.asarray(out.query_logits[0])
+    want = _ref_logits(data, name, mode)
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)
+    np.testing.assert_allclose(float(out.lp_loss),
+                               float(data[f"{name}/{mode}/lp_loss"]),
+                               atol=1e-4, rtol=1e-4)
+
+
 @pytest.mark.parametrize("dist", ["cosine", "euclidean"])
 @pytest.mark.parametrize("mode", ["eval", "train"])
 def test_protonet_matches_reference(golden, dist, mode):

@@ -78,9 +78,23 @@ def golden():
     return data, meta, cfg, learner, episodes
 
 
+@pytest.mark.parametrize("solver", ["solve", "cheby150"])
 @pytest.mark.parametrize("name", ["f0", "f1"])
-def test_train_gradients_match_reference(golden, name):
+def test_train_gradients_match_reference(golden, name, solver):
+    """solver='cheby150' re-checks the full backward with the fast-parity
+    LP solver (f32 Chebyshev-150 forward AND adjoint through
+    custom_linear_solve) — the configuration bench.py's parity mode runs —
+    against the reference's dense-inverse gradients, same tolerances."""
     data, meta, cfg, learner, eps = golden
+    if solver == "cheby150":
+        from r3dfsseg_tpu.learners import MPTILearner
+        cfg = cfg.replace(lp_solver="cheby", lp_cg_iters=150,
+                          lp_adjoint_iters=0)
+        clearner = MPTILearner(cfg)
+        clearner.init(eps[meta["fixtures"][0]])
+        clearner.load_params(learner.state.params,
+                             learner.state.batch_stats)
+        learner = clearner
 
     def loss_fn(params):
         out, _ = learner.model.apply(
