@@ -46,6 +46,19 @@ class GroupedBatchNorm(nn.Module):
 
     Variable tree ({params: {scale, bias}, batch_stats: {mean, var}})
     matches `nn.BatchNorm`, so the same checkpoint serves both paths.
+
+    Implementation note (round-5 E>1 throughput fix): statistics are
+    computed as per-LEADING-ROW reductions (B, ..., C) -> (B, C) followed
+    by a tiny (G, per, C) group reduction, and normalisation broadcasts
+    (B, C) statistics back over the row — the big activation tensor is
+    never reshaped.  The first version reshaped x to (G, -1, C) before
+    reducing; at E=8 XLA materialised that reshape (and the f32
+    normalised copy behind it) as standalone ~500 MB copy/reshape ops on
+    the EdgeConv edge tensor, costing ~19 ms/step per BN against an
+    18 ms whole-step E=1 baseline (trace in DESIGN.md round-5 section).
+    Row-wise reduces + broadcast-elementwise normalisation fuse into the
+    producing conv and downstream LeakyReLU/max exactly like the flax BN
+    does at groups=1.
     """
     momentum: float = 0.9
     epsilon: float = 1e-5
@@ -55,28 +68,41 @@ class GroupedBatchNorm(nn.Module):
     @nn.compact
     def __call__(self, x: Array, groups: int) -> Array:
         c = x.shape[-1]
+        b = x.shape[0]
         scale = self.param("scale", nn.initializers.ones_init(), (c,))
         bias = self.param("bias", nn.initializers.zeros_init(), (c,))
         ra_mean = self.variable("batch_stats", "mean",
                                 lambda: jnp.zeros(c, jnp.float32))
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones(c, jnp.float32))
-        assert x.shape[0] % groups == 0, (x.shape, groups)
-        xg = x.reshape(groups, -1, c)
-        xf = xg.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=1)                      # (G, C)
+        assert b % groups == 0, (x.shape, groups)
+        per = b // groups
+        xf = x.astype(jnp.float32)
+        red = tuple(range(1, x.ndim - 1))
+        count = per
+        for s in x.shape[1:-1]:
+            count *= s
+        bshape = (b,) + (1,) * (x.ndim - 2) + (c,)
+        row_sum = jnp.sum(xf, axis=red)                   # (B, C)
+        mean = row_sum.reshape(groups, per, c).sum(1) / count   # (G, C)
+        mean_b = jnp.repeat(mean, per, axis=0).reshape(bshape)
         if self.use_fast_variance:
-            var = jnp.mean(xf * xf, axis=1) - mean * mean
+            row_sq = jnp.sum(xf * xf, axis=red)
+            var = (row_sq.reshape(groups, per, c).sum(1) / count
+                   - mean * mean)
         else:
-            var = jnp.mean(jnp.square(xf - mean[:, None, :]), axis=1)
+            d = xf - mean_b
+            row_var = jnp.sum(d * d, axis=red)
+            var = row_var.reshape(groups, per, c).sum(1) / count
         if not self.is_initializing():
             m = self.momentum
             ra_mean.value = m * ra_mean.value + (1.0 - m) * jnp.mean(mean, 0)
             ra_var.value = m * ra_var.value + (1.0 - m) * jnp.mean(var, 0)
         dt = self.dtype or jnp.promote_types(x.dtype, jnp.float32)
-        mul = jax.lax.rsqrt(var + self.epsilon)[:, None, :] * scale
-        y = (xf - mean[:, None, :]) * mul + bias
-        return y.reshape(x.shape).astype(dt)
+        mul = jax.lax.rsqrt(var + self.epsilon) * scale   # (G, C)
+        mul_b = jnp.repeat(mul, per, axis=0).reshape(bshape)
+        y = (xf - mean_b) * mul_b + bias
+        return y.astype(dt)
 
 
 class ConvBN(nn.Module):

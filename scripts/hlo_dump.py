@@ -1,6 +1,11 @@
 #!/usr/bin/env python
 """Dump the compiled HLO of the optimized train step and print the bodies
-of named fusions (for attributing trace hot spots to source ops)."""
+of named fusions (for attributing trace hot spots to source ops).
+
+Usage: python scripts/hlo_dump.py [--ebatch E] [fusion-name-pattern ...]
+E > 1 lowers the vmapped batched-episode step (pairs with
+`capture_trace.py <dir> E` + `trace_attr.py` for the E>1 attribution).
+"""
 import os
 import re
 import sys
@@ -14,20 +19,27 @@ def main():
     import bench
     from r3dfsseg_tpu.config import R3DConfig
 
-    cfg = R3DConfig(episode_batch=1, lp_solver="cheby", lp_cg_iters=50,
+    argv = sys.argv[1:]
+    ebatch = 1
+    if "--ebatch" in argv:
+        i = argv.index("--ebatch")
+        ebatch = int(argv[i + 1])
+        del argv[i:i + 2]
+    cfg = R3DConfig(episode_batch=ebatch, lp_solver="cheby", lp_cg_iters=50,
                     lp_adjoint_iters=30, bn_mode="fastvar",
                     compute_dtype="bfloat16")
     learner = bench._learner(cfg)
-    batch = bench._batch(cfg, 1)
-    learner.init(batch)
+    batch = bench._batch(cfg, ebatch)
+    learner.init(jax.tree.map(lambda x: x[0], batch) if ebatch > 1 else batch)
     lowered = jax.jit(learner._train_step_impl).lower(
         learner.state, batch, learner._rng)
     txt = lowered.compile().as_text()
-    out = "/tmp/train_step_hlo.txt"
+    out = f"/tmp/train_step_hlo_e{ebatch}.txt" if ebatch > 1 \
+        else "/tmp/train_step_hlo.txt"
     with open(out, "w") as f:
         f.write(txt)
     print(f"wrote {out} ({len(txt)} bytes)")
-    pats = sys.argv[1:] or ["convert_reduce_fusion", "bitcast_convert_fusion"]
+    pats = argv or ["convert_reduce_fusion", "bitcast_convert_fusion"]
     for pat in pats:
         # print each fusion computation body matching the name
         for m in re.finditer(
