@@ -19,10 +19,11 @@ Two budgets (round-4 results in BASELINE.md):
     comparison; trails the band as plain mini-batching predicts (0.189
     mean over 3 seeds);
   * --eqstep: 16000 episodes (= 2000 steps) — the equal-STEP comparison;
-    3-seed mean 0.364 vs parity mean 0.327 (0.416/0.447/0.230 — per-seed
-    spread wider than the band, no systematic degradation), validating
-    the multi-chip design point (N chips advance the same step clock
-    through N episodes at a time).
+    5-seed final mean 0.398 +- 0.09 vs parity mean 0.327
+    (0.416/0.447/0.230/0.450/0.447; best-validation mean 0.414 — every
+    seed in or above band by best-val, see BASELINE.md round-5 table),
+    validating the multi-chip design point (N chips advance the same
+    step clock through N episodes at a time).
 
 Usage: python scripts/ab_e8.py [workdir] [--eqstep] [--seeds 126,127]
 (resumes a workdir; default seeds 123,124,125)
