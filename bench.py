@@ -8,10 +8,10 @@ Prints ONE JSON line.  Fields:
                           config (bn_mode=fastvar since round 5)
   value_bn_exact        — same step with --bn_mode exact (two-pass f32 BN)
   parity_eps_per_sec    — reference-faithful mode (episode_batch=1, f32,
-                          exact top-k affinity, XLA kNN, f32 Chebyshev-150
-                          LP solve — golden-parity-equivalent to the dense
-                          inverse, see tests): same semantics the CUDA
-                          reference computes
+                          exact top-k selection for kNN + affinity, f32
+                          Chebyshev-150 LP solve — golden-parity-
+                          equivalent to the dense inverse, see tests):
+                          same semantics the CUDA reference computes
   parity_dense_eps_per_sec — parity mode with the dense LU solve (the
                           rounds-1-4 definition, for continuity)
   eval_eps_per_sec      — eval step (MDNS on, no backward) at the
@@ -184,18 +184,24 @@ def main():
     train_eps_exact = measure_train(exact_cfg, EBATCH)
 
     # Parity mode = reference-faithful semantics: f32 everywhere, exact
-    # top-k affinity, XLA kNN/FPS.  Since round 5 the LP solve is f32
-    # Chebyshev-150 (HIGHEST-precision matvecs, full-count adjoint): at
-    # alpha=0.99 it converges to ~5e-10 relative — the golden fwd+grad
-    # parity tests pass with it unchanged (test_reference_parity.py::
-    # test_eval_logits_match_cheby_parity_solver, test_reference_parity_
-    # grads.py solver='cheby150') — while dropping the O(n^3) dense LU
-    # that made parity-mode training 10x the optimized stack (VERDICT r4
-    # weak #6).  `parity_dense_eps_per_sec` keeps the dense-solve rate
-    # for continuity with rounds 1-4.
+    # top-k selection, exact FPS.  Round-5 speedups, all
+    # selection-preserving (VERDICT r4 weak #6: parity was 10x the
+    # optimized stack):
+    #   * LP solve: f32 Chebyshev-150 (HIGHEST matvecs, full-count
+    #     adjoint) — ~5e-10 relative at alpha=0.99; golden fwd+grad
+    #     parity tests pin it against the dense inverse.
+    #     `parity_dense_eps_per_sec` keeps the dense-LU rate.
+    #   * affinity: `_exact_topk_select` — bit-identical selection to
+    #     lax.top_k (incl. tie rule) without its row sort + scatter.
+    #   * kNN: the Pallas kernel's exact=True extraction — selection-
+    #     identical to lax.top_k on the same f32 HIGHEST distances
+    #     (tests/test_pallas_knn.py pins bit-equality in interpret mode;
+    #     on-device the MXU accumulation order may differ from the XLA
+    #     dot by ulps, the same class of difference the reference's own
+    #     CUDA kernels have vs torch CPU).
     parity_cfg = R3DConfig(episode_batch=1, lp_solver="cheby",
                            lp_cg_iters=150, lp_adjoint_iters=0,
-                           affinity_impl="topk", knn_impl="xla",
+                           affinity_impl="topk", knn_impl="pallas_exact",
                            fps_impl="xla", compute_dtype="float32")
     parity_eps = measure_train(parity_cfg, 1)
     dense_cfg = parity_cfg.replace(lp_solver="solve", lp_cg_iters=50)

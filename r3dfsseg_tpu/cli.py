@@ -110,7 +110,8 @@ def build_parser(eval_mode: bool = False) -> argparse.ArgumentParser:
                    help="iterations for the backward (adjoint) LP solve; "
                         "0 = same as --lp_cg_iters")
     p.add_argument("--knn_impl", default="auto",
-                   choices=["auto", "pallas", "xla", "approx"])
+                   choices=["auto", "pallas", "pallas_exact", "xla",
+                            "approx"])
     p.add_argument("--attn_impl", default="auto",
                    choices=["auto", "pallas", "xla"])
     p.add_argument("--affinity_impl", default="threshold",

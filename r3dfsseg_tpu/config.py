@@ -135,7 +135,8 @@ class R3DConfig:
                                            # container's tunnel) without
                                            # changing step semantics.  1 =
                                            # one put per step
-    knn_impl: str = "auto"                 # auto | pallas | xla | approx
+    knn_impl: str = "auto"                 # auto | pallas | pallas_exact
+                                           # | xla | approx
     fps_impl: str = "auto"                 # auto | pallas | xla (parity)
     attn_impl: str = "auto"                # auto | pallas | xla (SelfAttention)
     affinity_impl: str = "threshold"       # threshold (fast) | topk (tie parity)

@@ -167,6 +167,10 @@ class EdgeConv(nn.Module):
     knn_impl selects the neighbour search:
       'auto'   — fused Pallas kernel on TPU, exact XLA elsewhere;
       'pallas' — fused distance+top-k kernel (ops/pallas_knn.py);
+      'pallas_exact' — the same kernel's full-precision extraction:
+                 selection-identical to 'xla' (no index-packing
+                 quantisation), ~3x cheaper than the top_k sort — the
+                 TPU parity-mode path (bench.py);
       'xla'    — exact lax.top_k (reference-equivalent);
       'approx' — lax.approx_max_k (TPU-optimised, ~4x faster than top_k,
                  recall ~0.95 — fine for training, not bit-parity).
@@ -196,9 +200,10 @@ class EdgeConv(nn.Module):
         impl = self.knn_impl
         if impl == "auto":
             impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-        if impl == "pallas":
+        if impl in ("pallas", "pallas_exact"):
             from r3dfsseg_tpu.ops.pallas_knn import knn_indices_pallas
-            return knn_indices_pallas(x, self.k)
+            return knn_indices_pallas(x, self.k,
+                                      exact=impl == "pallas_exact")
         if impl == "approx":
             from r3dfsseg_tpu.ops.knn import pairwise_sqdist
             _, idx = jax.lax.approx_max_k(-pairwise_sqdist(x), self.k)

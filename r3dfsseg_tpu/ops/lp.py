@@ -62,7 +62,10 @@ def local_constrained_affinity(
           ~3x faster than top_k at k=200 on TPU.  Exact-distance ties at
           the k-th radius admit every tied neighbour (measure-zero for
           continuous features).
-        'topk': exact lax.top_k + scatter (reference tie-break parity).
+        'topk': exact top-k selection (reference tie-break parity) —
+          implemented since round 5 as exact-bit bisection + tie cumsum
+          (`_exact_topk_select`), selection-identical to lax.top_k but
+          without its row sort + scatter (68 -> ~5 ms at 4396^2, k=200).
       compare_dtype: optional low-precision dtype (bf16) for the threshold
         path's neighbour *selection* only — the bisection + membership
         passes read a half-width copy of the distance matrix (2x less HBM
@@ -145,8 +148,7 @@ def local_constrained_affinity(
         idx = None
     elif impl == "topk":
         sel = _masked(jax.lax.stop_gradient(sqd).astype(jnp.float32))
-        negv, idx = jax.lax.top_k(-sel, k)                  # (N, k)
-        kth = -negv[:, -1:]                                 # (N, 1)
+        topk_mask, kth = _exact_topk_select(sel, k)
     else:
         raise NotImplementedError(f"unknown affinity impl {impl!r}")
 
@@ -195,15 +197,56 @@ def local_constrained_affinity(
                + (sel_cmp <= radius.reshape(1, -1)).astype(out_dtype))
         a = sim_full * cnt
     else:
-        sim = jnp.take_along_axis(sim_full, idx, axis=1)
-        a = jnp.zeros((n, n), jnp.float32).at[
-            jnp.arange(n)[:, None], idx].set(sim)
-        a = a + a.T                                  # symmetrise (mpti.py:752)
+        a_knn = sim_full * topk_mask.astype(jnp.float32)
+        a = a_knn + a_knn.T                          # symmetrise (mpti.py:752)
     a = jnp.where(eye, jnp.zeros((), a.dtype), a)    # zero diagonal (mpti.py:754-755)
     if valid is not None:
         v = valid.astype(a.dtype)
         a = a * v[:, None] * v[None, :]
     return a
+
+
+def _exact_topk_select(sel: Array, k: int) -> tuple:
+    """Selection-equivalent replacement for `lax.top_k` on a non-negative
+    f32 distance matrix: returns (mask, kth) where `mask` (N, N) bool has
+    EXACTLY k True per row — the k smallest entries, with exact-value ties
+    at the k-th distance admitted lowest-index-first, lax.top_k's stable
+    tie rule — and `kth` (N, 1) is the exact per-row k-th smallest value.
+
+    Why not top_k: at the LP graph shape (4396 rows x 4396, k=200) the
+    sort-based `lax.top_k` + (N, k) scatter measured 68 ms/step on v5e —
+    the single largest cost of parity-mode training.  The bit pattern of
+    a non-negative f32 is order-monotonic as int32, so 31 integer
+    bisection steps on bitcast values converge to the EXACT k-th value
+    (not a bracket like the threshold path's 16/32 value-space steps),
+    and the tie budget t = k - |{d < kth}| is spent on the lowest tied
+    indices via one row cumsum.  31 compare+count passes + 1 cumsum +
+    1 compare ~ 5 ms.  The selected SET equals lax.top_k's output
+    exactly, so the dense affinity built from it is bit-identical to the
+    gather/scatter form it replaces (pinned by
+    tests/test_ops.py::test_exact_topk_select_matches_lax_top_k).
+    """
+    bits = jax.lax.bitcast_convert_type(sel, jnp.int32)  # monotonic: sel >= 0
+    n = sel.shape[0]
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = lo + (hi - lo) // 2
+        cnt = jnp.sum((bits <= mid).astype(jnp.int32), axis=1, keepdims=True)
+        ge = cnt >= k
+        return jnp.where(ge, lo, mid), jnp.where(ge, mid, hi)
+
+    # invariant: count(<= lo) < k <= count(<= hi); bits >= 0 so lo=-1 works
+    lo0 = jnp.full((n, 1), -1, jnp.int32)
+    hi0 = jnp.max(bits, axis=1, keepdims=True)
+    _, kth_bits = jax.lax.fori_loop(0, 31, body, (lo0, hi0))
+    less = bits < kth_bits
+    tie = bits == kth_bits
+    t = k - jnp.sum(less.astype(jnp.int32), axis=1, keepdims=True)
+    tie_rank = jnp.cumsum(tie.astype(jnp.int32), axis=1)
+    mask = less | (tie & (tie_rank <= t))
+    kth = jax.lax.bitcast_convert_type(kth_bits, jnp.float32)
+    return mask, kth
 
 
 @jax.custom_vjp

@@ -24,7 +24,8 @@ Array = jax.Array
 _BIG = 3.4e38
 
 
-def _knn_kernel(q_ref, keys_ref, idx_ref, *, k: int, n_keys: int):
+def _knn_kernel(q_ref, keys_ref, idx_ref, *, k: int, n_keys: int,
+                exact: bool = False):
     """One (TILE_N, C) query tile vs all (N, C) keys of the same cloud.
 
     The column index is packed into the low mantissa bits of the (clamped
@@ -36,6 +37,15 @@ def _knn_kernel(q_ref, keys_ref, idx_ref, *, k: int, n_keys: int):
     the distance are zeroed before comparison, so neighbours whose
     distances agree to ~2^-12 relative may swap — and exact ties resolve
     to the lowest index, same as lax.top_k on negated distances.
+
+    exact=True (parity mode, round 5): no bit packing — each round runs
+    min + lowest-tied-column select + masked update (3 tile passes vs 2)
+    on FULL-precision f32 distances computed with the XLA path's
+    symmetric (qq + kk^T) - 2*inner grouping, so the selection equals
+    `ops.knn.knn_indices` exactly wherever the dot accumulations agree
+    (bit-identical in interpret mode, tests/test_pallas_knn.py).  Still
+    VMEM-resident: ~3x cheaper than the lax.top_k sort it replaces in
+    parity-mode training.
     """
     q = q_ref[0].astype(jnp.float32)          # (TILE_N, C)
     keys = keys_ref[0].astype(jnp.float32)    # (N, C)
@@ -47,6 +57,20 @@ def _knn_kernel(q_ref, keys_ref, idx_ref, *, k: int, n_keys: int):
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )                                                     # (T, N)
+    if exact:
+        d = jnp.maximum((qq + kk.T) - 2.0 * inner, 0.0)   # knn.py grouping
+        col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+        big_f = jnp.float32(_BIG)
+        big_i = jnp.int32(0x7FFFFFFF)
+        outs = []
+        for i in range(k):
+            m = jnp.min(d, axis=1)                         # (T,)
+            j = jnp.min(jnp.where(d == m[:, None], col, big_i), axis=1)
+            outs.append(j)
+            if i != k - 1:
+                d = jnp.where(col == j[:, None], big_f, d)
+        idx_ref[0] = jnp.stack(outs, axis=1)
+        return
     d = jnp.maximum(qq - 2.0 * inner + kk.T, 0.0)         # clamp: bitcast
     #                                        order only holds for d >= 0
 
@@ -71,11 +95,14 @@ def _knn_kernel(q_ref, keys_ref, idx_ref, *, k: int, n_keys: int):
     idx_ref[0] = jnp.stack(outs, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tile_n"))
-def knn_indices_pallas(x: Array, k: int, *, tile_n: int = 256) -> Array:
+@functools.partial(jax.jit, static_argnames=("k", "tile_n", "exact"))
+def knn_indices_pallas(x: Array, k: int, *, tile_n: int = 256,
+                       exact: bool = False) -> Array:
     """Fused kNN: x (B, N, C) -> (B, N, k) int32 neighbour indices.
 
     Requires N % tile_n == 0 (point counts here are powers of two).
+    exact=True: full-precision extraction matching `knn_indices` (see
+    `_knn_kernel`) — the parity-mode path.
     """
     b, n, c = x.shape
     if n % tile_n:
@@ -84,7 +111,7 @@ def knn_indices_pallas(x: Array, k: int, *, tile_n: int = 256) -> Array:
             tile_n //= 2
     grid = (b, n // tile_n)
     return pl.pallas_call(
-        functools.partial(_knn_kernel, k=k, n_keys=n),
+        functools.partial(_knn_kernel, k=k, n_keys=n, exact=exact),
         out_shape=jax.ShapeDtypeStruct((b, n, k), jnp.int32),
         grid=grid,
         in_specs=[

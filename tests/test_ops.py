@@ -187,6 +187,54 @@ def test_affinity_matches_oracle(rng):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+def test_exact_topk_select_matches_lax_top_k(rng):
+    """The round-5 bisection selection is set-identical to lax.top_k —
+    including exact-value ties (lowest-index-first) and zero distances —
+    so the 'topk' (parity) affinity it feeds is bit-identical to the old
+    gather/scatter build."""
+    from r3dfsseg_tpu.ops.lp import _exact_topk_select
+
+    for trial in range(3):
+        d = np.abs(rng.normal(size=(40, 40))).astype(np.float32)
+        # engineer exact ties: duplicate entries inside and across rows,
+        # plus exact zeros (bitcast 0x00000000 edge)
+        d[5, 7] = d[5, 12] = d[5, 31]
+        d[9, :6] = d[9, 6]
+        d[11, 3] = 0.0
+        d[11, 19] = 0.0
+        jd = jnp.asarray(d)
+        mask, kth = jax.jit(_exact_topk_select, static_argnums=1)(jd, 7)
+        mask = np.asarray(mask)
+        negv, idx = jax.lax.top_k(-jd, 7)
+        want = np.zeros_like(d, dtype=bool)
+        want[np.arange(40)[:, None], np.asarray(idx)] = True
+        np.testing.assert_array_equal(mask, want, err_msg=f"trial {trial}")
+        assert (mask.sum(1) == 7).all()
+        np.testing.assert_array_equal(np.asarray(kth)[:, 0],
+                                      -np.asarray(negv)[:, -1])
+
+
+def test_topk_affinity_matches_old_scatter_build(rng):
+    """The mask-based 'topk' affinity equals the gather/scatter build it
+    replaced, bit for bit."""
+    x = rng.normal(size=(50, 8)).astype(np.float32)
+    got = np.asarray(local_constrained_affinity(
+        jnp.asarray(x), k=9, sigma=1.1, impl="topk"))
+    # old implementation, verbatim semantics
+    from r3dfsseg_tpu.ops.knn import pairwise_sqdist
+    sqd = np.asarray(pairwise_sqdist(jnp.asarray(x)))
+    sel = sqd.copy()
+    np.fill_diagonal(sel, 1e30)
+    negv, idx = jax.lax.top_k(-jnp.asarray(sel), 9)
+    sim_full = np.asarray(jnp.exp(-0.5 * jnp.asarray(sqd) / (1.1 * 1.1)))
+    sim = np.take_along_axis(sim_full, np.asarray(idx), axis=1)
+    a = np.zeros((50, 50), np.float32)
+    a[np.arange(50)[:, None], np.asarray(idx)] = sim
+    a = a + a.T
+    np.fill_diagonal(a, 0)
+    np.testing.assert_array_equal(got, a)
+
+
 def test_affinity_masks_invalid_nodes(rng):
     x = rng.normal(size=(20, 4)).astype(np.float32)
     valid = np.ones(20, bool); valid[17:] = False

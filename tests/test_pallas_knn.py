@@ -5,7 +5,7 @@ import jax.numpy as jnp
 from r3dfsseg_tpu.ops.knn import knn_indices
 
 
-def _pallas_interpret(x, k, tile_n):
+def _pallas_interpret(x, k, tile_n, exact=False):
     import functools
     from jax.experimental import pallas as pl
     from r3dfsseg_tpu.ops import pallas_knn as pk
@@ -13,7 +13,7 @@ def _pallas_interpret(x, k, tile_n):
     b, n, c = x.shape
     grid = (b, n // tile_n)
     return pl.pallas_call(
-        functools.partial(pk._knn_kernel, k=k, n_keys=n),
+        functools.partial(pk._knn_kernel, k=k, n_keys=n, exact=exact),
         out_shape=jax.ShapeDtypeStruct((b, n, k), jnp.int32),
         grid=grid,
         in_specs=[
@@ -36,6 +36,19 @@ def test_pallas_knn_matches_exact(rng):
     # self always included first (distance 0)
     np.testing.assert_array_equal(got[:, :, 0],
                                   np.tile(np.arange(64), (2, 1)))
+
+
+def test_pallas_knn_exact_bit_matches_xla(rng):
+    """The exact=True (parity) kernel returns EXACTLY knn_indices' output
+    — same indices in the same order, including duplicated points whose
+    distances tie bit-for-bit (lowest index first)."""
+    x = rng.normal(size=(2, 64, 8)).astype(np.float32)
+    x[0, 11] = x[0, 40]           # exact duplicate -> distance ties
+    x[1, 3] = x[1, 5] = x[1, 57]  # triple
+    jx = jnp.asarray(x)
+    want = np.asarray(knn_indices(jx, 5))
+    got = np.asarray(_pallas_interpret(jx, 5, tile_n=32, exact=True))
+    np.testing.assert_array_equal(got, want)
 
 
 def test_kth_smallest_pallas_matches_xla_loop():
